@@ -1,0 +1,20 @@
+"""rel_pose_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework for relative
+camera-pose prediction, with the full capability surface of crockwell/rel_pose
+("The 8-Point Algorithm as an Inductive Bias for Relative Pose Prediction by
+ViTs", 3DV 2022).
+
+Layer map (bottom-up):
+  geom/     pure-JAX SE(3)/SO(3) Lie groups, quaternions, epipolar geometry
+            (replaces the reference's lietorch C++/CUDA dep + scipy rotations)
+  nn/       functional NN primitives (conv, BN, LN, MLP, ResNet-18 trunk)
+  ops/      TPU compute ops: Pallas fused kernels, positional encodings,
+            jitted image preprocessing
+  models/   ViTEss: pair-of-images -> SE3 relative pose
+  data/     host-side dataset readers (Matterport / InteriorNet / StreetLearn)
+  parallel/ device-mesh + sharding utilities (pjit data parallelism over ICI,
+            replacing DDP/NCCL)
+  train/    training runtime: optax optimizer, train step, checkpoints, logger
+  utils/    config dataclasses, torch->jax checkpoint conversion, profiling
+"""
+
+__version__ = "0.1.0"

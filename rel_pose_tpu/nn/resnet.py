@@ -1,0 +1,89 @@
+"""ResNet-18 trunk (stem + layer1 + layer2), functional JAX.
+
+The reference uses torchvision's resnet18 but only runs
+conv1/bn1/relu/maxpool/layer1/layer2 in its forward
+(``/root/reference/src/model.py:127-132``); layer3/layer4/fc are frozen and
+never executed (``/root/reference/train.py:59-64``).  We therefore build only
+the executed trunk.  Arithmetic matches torchvision BasicBlock exactly so
+converted checkpoints reproduce reference activations:
+
+  stem:   conv 7x7/2 pad3 (3->64) -> BN -> ReLU -> maxpool 3x3/2 pad1
+  layer1: 2x BasicBlock(64->64, stride 1)
+  layer2: BasicBlock(64->128, stride 2, 1x1 downsample) + BasicBlock(128)
+  BasicBlock: conv3x3/s -> BN -> ReLU -> conv3x3 -> BN; (+ downsample) -> ReLU
+
+Output for 224x224 input: (N, 128, 28, 28).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply, max_pool_2d,
+)
+
+
+def _basic_block_init(key, in_ch, out_ch, stride, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params, state = {}, {}
+    params["conv1"] = conv2d_init(k1, in_ch, out_ch, 3, bias=False, dtype=dtype)
+    params["bn1"], state["bn1"] = batchnorm_init(out_ch, dtype)
+    params["conv2"] = conv2d_init(k2, out_ch, out_ch, 3, bias=False, dtype=dtype)
+    params["bn2"], state["bn2"] = batchnorm_init(out_ch, dtype)
+    if stride != 1 or in_ch != out_ch:
+        params["downsample_conv"] = conv2d_init(k3, in_ch, out_ch, 1,
+                                                bias=False, dtype=dtype)
+        params["downsample_bn"], state["downsample_bn"] = \
+            batchnorm_init(out_ch, dtype)
+    return params, state
+
+
+def _basic_block_apply(params, state, x, stride, training):
+    new_state = {}
+    y = conv2d_apply(params["conv1"], x, stride=stride, padding=1)
+    y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"], y,
+                                          training)
+    y = jax.nn.relu(y)
+    y = conv2d_apply(params["conv2"], y, stride=1, padding=1)
+    y, new_state["bn2"] = batchnorm_apply(params["bn2"], state["bn2"], y,
+                                          training)
+    if "downsample_conv" in params:
+        x = conv2d_apply(params["downsample_conv"], x, stride=stride)
+        x, new_state["downsample_bn"] = batchnorm_apply(
+            params["downsample_bn"], state["downsample_bn"], x, training)
+    return jax.nn.relu(x + y), new_state
+
+
+def resnet18_trunk_init(key, dtype=jnp.float32):
+    keys = jax.random.split(key, 5)
+    params, state = {}, {}
+    params["conv1"] = conv2d_init(keys[0], 3, 64, 7, bias=False, dtype=dtype)
+    params["bn1"], state["bn1"] = batchnorm_init(64, dtype)
+    params["layer1_0"], state["layer1_0"] = _basic_block_init(
+        keys[1], 64, 64, 1, dtype)
+    params["layer1_1"], state["layer1_1"] = _basic_block_init(
+        keys[2], 64, 64, 1, dtype)
+    params["layer2_0"], state["layer2_0"] = _basic_block_init(
+        keys[3], 64, 128, 2, dtype)
+    params["layer2_1"], state["layer2_1"] = _basic_block_init(
+        keys[4], 128, 128, 1, dtype)
+    return params, state
+
+
+def resnet18_trunk_apply(params, state, x, training=False):
+    """(N, 3, 224, 224) -> (N, 128, 28, 28).  Returns (y, new_state)."""
+    new_state = {}
+    y = conv2d_apply(params["conv1"], x, stride=2, padding=3)
+    y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"], y,
+                                          training)
+    y = jax.nn.relu(y)
+    y = max_pool_2d(y, window=3, stride=2, padding=1)
+    y, new_state["layer1_0"] = _basic_block_apply(
+        params["layer1_0"], state["layer1_0"], y, 1, training)
+    y, new_state["layer1_1"] = _basic_block_apply(
+        params["layer1_1"], state["layer1_1"], y, 1, training)
+    y, new_state["layer2_0"] = _basic_block_apply(
+        params["layer2_0"], state["layer2_0"], y, 2, training)
+    y, new_state["layer2_1"] = _basic_block_apply(
+        params["layer2_1"], state["layer2_1"], y, 1, training)
+    return y, new_state
