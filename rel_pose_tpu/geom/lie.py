@@ -70,8 +70,10 @@ def so3_log(q):
     n = jnp.sqrt(jnp.where(small, 1.0, n2))
     # General branch: 2*atan2(n, w)/n.  atan2 handles w<0 (angle > pi/2... pi).
     general = 2.0 * jnp.arctan2(n, w) / n
-    # Taylor: 2/w - 2*n2/(3 w^3); safe since |q|=1 => w ~ +-1 when n small.
-    taylor = 2.0 / w - 2.0 * n2 / (3.0 * w ** 3)
+    # Taylor: 2/w - 2*n2/(3 w^3); |q|=1 => w ~ +-1 when n is small, but guard
+    # the DEAD branch too (w ~ 0 at 180deg rotations would poison the grad).
+    ws = jnp.where(small, w, 1.0)
+    taylor = 2.0 / ws - 2.0 * n2 / (3.0 * ws ** 3)
     factor = jnp.where(small, taylor, general)
     return factor * v
 
@@ -103,10 +105,13 @@ def _V_matrix(phi):
     a = (1-cos t)/t^2, b = (t - sin t)/t^3."""
     theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
     small = theta2 < _SMALL
-    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
-    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    # safe-x trick: never divide by a (near-)zero theta2 in the dead branch,
+    # or grad-of-where propagates NaN.
+    t2s = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2s)
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
     b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / (theta2 * theta))
+                  (theta - jnp.sin(theta)) / (t2s * theta))
     Phi = _hat(phi)
     eye = jnp.eye(3, dtype=phi.dtype)
     return eye + a * Phi + b * jnp.matmul(Phi, Phi, precision=_HP)
@@ -117,12 +122,13 @@ def _V_inverse(phi):
     c = (1 - theta*cos(theta/2)/(2 sin(theta/2))) / theta^2, c -> 1/12."""
     theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
     small = theta2 < _SMALL
-    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    t2s = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2s)
     half = 0.5 * theta
     c = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.sin(half)) / theta2,
+        (1.0 - half * jnp.cos(half) / jnp.sin(half)) / t2s,
     )
     Phi = _hat(phi)
     eye = jnp.eye(3, dtype=phi.dtype)

@@ -15,6 +15,14 @@ import jax.numpy as jnp
 from .lie import se3_compose, se3_inverse, se3_log
 
 
+def _safe_norm(x, axis=-1):
+    """L2 norm with a zero (sub)gradient at x = 0 instead of NaN — the
+    residual hits exactly zero when predictions equal ground truth."""
+    n2 = jnp.sum(x * x, axis=axis)
+    zero = n2 < 1e-24
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, n2)))
+
+
 def geodesic_loss(Ps, Gs, train_val="train"):
     """Args:
       Ps: ground-truth poses ``(B, 2, 7)`` (pose 0 = identity, pose 1 = rel).
@@ -35,8 +43,8 @@ def geodesic_loss(Ps, Gs, train_val="train"):
     d = se3_log(se3_compose(dG, se3_inverse(dP)))
 
     tau, phi = d[..., :3], d[..., 3:]
-    loss_tr = jnp.linalg.norm(tau, axis=-1).mean()
-    loss_rot = jnp.linalg.norm(phi, axis=-1).mean()
+    loss_tr = _safe_norm(tau).mean()
+    loss_rot = _safe_norm(phi).mean()
 
     metrics = {
         train_val + "_geo_loss_tr": loss_tr,

@@ -1,0 +1,281 @@
+"""ViTEss — pair-of-images -> SE(3) relative pose (functional JAX).
+
+TPU-native re-design of the reference model (``/root/reference/src/model.py``):
+truncated ResNet-18 feature extractor -> 192-d tokens at 24x24 per image ->
+(depth-1) ViT self-attention blocks -> Essential Matrix cross block ->
+MLP pose regressor -> (B, 2, 7) poses.
+
+Differences from the reference implementation (same math, TPU-first design):
+  * pure function of (params, state, images, intrinsics) — jit/vmap/pjit
+    freely; BatchNorm statistics flow through an explicit state pytree;
+  * positional-encoding tables are computed inside the jitted graph (XLA
+    constant-folds them for fixed intrinsics) instead of per-step CPU
+    construction + host->device copy (ref ``vision_transformer.py:209-211``);
+  * all preprocessing (BGR flip, normalize, nearest resize) is fused into the
+    same XLA program (ref does it eagerly on device, ``src/model.py:115-125``);
+  * optional bf16 compute path for the MXU (config.compute_dtype).
+
+All three reference ablation paths are implemented: the essential-matrix
+fusion transformer (default), ``--noess`` (plain cross-attention + conv
+pooling head), and the no-fusion-transformer conv pooling baseline.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..nn.init import xavier_uniform
+from ..nn.layers import (
+    linear_init, linear_apply, layernorm_init, layernorm_apply,
+    conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply,
+    mlp_init, mlp_apply,
+)
+from ..nn.resnet import resnet18_trunk_init, resnet18_trunk_apply
+from ..nn.extractor import residual_block_init, residual_block_apply
+from ..nn.transformer import vit_block_init, vit_block_apply
+from ..ops.image import preprocess_images, nearest_resize, scale_intrinsics
+from ..ops.posenc import quadratic_positional_encoding, l1_positional_encoding
+from ..ops.essential import (
+    cross_attention_init, essential_cross_attention, noess_cross_attention,
+)
+
+
+# ------------------------------------------------------------------ init ----
+
+def vitess_init(key, cfg: ModelConfig, dtype=jnp.float32):
+    """Build the (params, state) pytrees.
+
+    Mirrors ``ViTEss.__init__`` (``src/model.py:12-98``).  ResNet weights are
+    randomly initialized — ImageNet-pretrained values arrive via the
+    checkpoint converter (the reference also overwrites them when loading any
+    trained checkpoint, ``src/model.py:31`` comment).
+    """
+    C = cfg.total_num_features
+    keys = jax.random.split(key, 16)
+    params, state = {}, {}
+
+    params["resnet"], state["resnet"] = resnet18_trunk_init(keys[0], dtype)
+    k_extract = 28 - cfg.feature_height + 1   # = 5 (src/model.py:24)
+    params["extractor_final_conv"], state["extractor_final_conv"] = \
+        residual_block_init(keys[1], 128, C, k_extract, dtype)
+
+    if cfg.fusion_transformer:
+        params["pos_embed"] = xavier_uniform(
+            keys[2], (1, cfg.num_patches, C), dtype)
+        blocks = []
+        for i in range(cfg.transformer_depth - 1):
+            blocks.append(vit_block_init(keys[3 + i], C, cfg.num_heads,
+                                         dtype=dtype))
+        params["blocks"] = blocks
+        kc1, kc2 = jax.random.split(keys[12])
+        params["cross_block"] = {
+            "norm1": layernorm_init(C, dtype),
+            "cross_attn": cross_attention_init(
+                kc1, C, cfg.num_heads, qkv_bias=True, noess=cfg.noess,
+                no_pos_encoding=cfg.no_pos_encoding, dtype=dtype),
+            "norm2": layernorm_init(C, dtype),
+            "mlp": mlp_init(kc2, C, int(C * 4.0), dtype=dtype),
+        }
+        params["norm"] = layernorm_init(C, dtype)
+    else:
+        # conv pooling head (src/model.py:64-70)
+        kp1, kp2 = jax.random.split(keys[2])
+        params["pool_transformer_output"] = {
+            "conv1": conv2d_init(kp1, C, cfg.pool_feat1, 1, dtype=dtype),
+            "conv2": conv2d_init(kp2, cfg.pool_feat1, cfg.pool_size, 1,
+                                 dtype=dtype),
+        }
+        st = {}
+        params["pool_transformer_output"]["bn1"], st["bn1"] = \
+            batchnorm_init(cfg.pool_feat1, dtype)
+        params["pool_transformer_output"]["bn2"], st["bn2"] = \
+            batchnorm_init(cfg.pool_size, dtype)
+        state["pool_transformer_output"] = st
+
+    if cfg.noess:
+        # (src/model.py:72-81): pool 2C -> pool_feat1 -> 43
+        kp1, kp2 = jax.random.split(keys[13])
+        params["pool_attn"] = {
+            "conv1": conv2d_init(kp1, C * 2, cfg.pool_feat1, 1, dtype=dtype),
+            "conv2": conv2d_init(kp2, cfg.pool_feat1, 43, 1, dtype=dtype),
+        }
+        st = {}
+        params["pool_attn"]["bn1"], st["bn1"] = \
+            batchnorm_init(cfg.pool_feat1, dtype)
+        params["pool_attn"]["bn2"], st["bn2"] = batchnorm_init(43, dtype)
+        state["pool_attn"] = st
+
+    H, H2 = cfg.regressor_input_dim, cfg.fc_hidden_size
+    kr = jax.random.split(keys[14], 3)
+    params["pose_regressor"] = {
+        "fc1": linear_init(kr[0], H, H2, dtype=dtype),
+        "fc2": linear_init(kr[1], H2, H2, dtype=dtype),
+        "fc3": linear_init(kr[2], H2,
+                           cfg.num_images * cfg.pose_size, dtype=dtype),
+    }
+    return params, state
+
+
+# ------------------------------------------------------------- submodules ----
+
+def _extract_features(params, state, cfg, images, intrinsics, training):
+    """``ViTEss.extract_features`` (``src/model.py:111-143``).
+
+    images: (B, 2, 3, H, W) raw BGR floats 0-255.
+    Returns (tokens (2B, N, C'), scaled intrinsics, new_state).
+    """
+    B = images.shape[0]
+    x = preprocess_images(images)
+    if intrinsics is not None:
+        intrinsics = scale_intrinsics(intrinsics, images.shape,
+                                      cfg.feature_resolution)
+
+    x = x.reshape((B * 2,) + x.shape[2:])
+    x = nearest_resize(x, 224)
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else x.dtype
+    x = x.astype(dtype)
+
+    new_state = {}
+    x, new_state["resnet"] = resnet18_trunk_apply(
+        params["resnet"], state["resnet"], x, training)
+    x, new_state["extractor_final_conv"] = residual_block_apply(
+        params["extractor_final_conv"], state["extractor_final_conv"], x,
+        training)
+
+    # (2B, C, 24, 24) -> (2B, C, N) -> (2B, N, C') ; row-major tokens
+    x = x.reshape(B * 2, cfg.total_num_features, cfg.num_patches)
+    if not cfg.fusion_transformer:
+        x = x[:, : cfg.total_num_features // 2]
+    x = jnp.swapaxes(x, 1, 2)
+    return x, intrinsics, new_state
+
+
+def _positional(cfg, intrinsics, batch):
+    if cfg.no_pos_encoding:
+        return None
+    fn = (l1_positional_encoding if cfg.l1_pos_encoding
+          else quadratic_positional_encoding)
+    return fn(cfg.num_patches, intrinsics, batch=batch)
+
+
+def _cross_block(params, cfg, x, intrinsics):
+    """``CrossBlock.forward`` (``vision_transformer.py:285-304``).
+
+    x: (2B, N, C) interleaved pair tokens.
+    Returns (2B, 70, C) for the essential path or (2B, N, C) for --noess.
+    """
+    two_b, N, C = x.shape
+    xp = x.reshape(-1, 2, N, C)
+    x1 = layernorm_apply(params["norm1"], xp[:, 0])
+    x2 = layernorm_apply(params["norm1"], xp[:, 1])
+
+    if not cfg.noess:
+        positional = _positional(cfg, intrinsics, xp.shape[0])
+        f1, f2 = essential_cross_attention(
+            params["cross_attn"], x1, x2, positional, cfg.num_heads,
+            cross_features=cfg.cross_features,
+            use_single_softmax=cfg.use_single_softmax)
+        # (B, 2, e, C) -> (2B, e, C); residual MLP (token count changed, so
+        # no residual around the attention itself)
+        fund = jnp.stack([f1, f2], axis=1).reshape(two_b, -1, C)
+        fund = fund + mlp_apply(params["mlp"],
+                                layernorm_apply(params["norm2"], fund))
+        return fund
+    else:
+        y1, y2 = noess_cross_attention(params["cross_attn"], x1, x2,
+                                       cfg.num_heads)
+        x_inter = jnp.stack([y1, y2], axis=1).reshape(two_b, N, C)
+        x = x + x_inter
+        x = x + mlp_apply(params["mlp"], layernorm_apply(params["norm2"], x))
+        return x
+
+
+def _conv_pool_head(params, state, x, training):
+    """1x1-conv pooling heads (pool_transformer_output / pool_attn,
+    ``src/model.py:64-81``): conv -> BN -> ReLU -> conv -> BN."""
+    new_state = {}
+    y = conv2d_apply(params["conv1"], x)
+    y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"], y,
+                                          training)
+    y = jax.nn.relu(y)
+    y = conv2d_apply(params["conv2"], y)
+    y, new_state["bn2"] = batchnorm_apply(params["bn2"], state["bn2"], y,
+                                          training)
+    return y, new_state
+
+
+def normalize_preds(Gs, pose_preds):
+    """``ViTEss.normalize_preds`` (``src/model.py:145-159``): re-normalize the
+    quaternion block with floor max(|q|, 0.01) and pin pose 0 to the input
+    identity.  Gs, pose_preds: (B, 2, 7)."""
+    q = pose_preds[..., 3:]
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = q / jnp.maximum(n, 0.01)
+    normed = jnp.concatenate([pose_preds[..., :3], q], axis=-1)
+    return jnp.concatenate([Gs[:, :1], normed[:, 1:]], axis=1)
+
+
+# --------------------------------------------------------------- forward ----
+
+def vitess_forward(params, state, cfg: ModelConfig, images, intrinsics=None,
+                   Gs=None, training=False):
+    """``ViTEss.forward`` (``src/model.py:161-191``).
+
+    Args:
+      images: (B, 2, 3, H, W) raw BGR floats 0-255 (cv2 layout).
+      intrinsics: (B, 2, 4) [fx, fy, cx, cy] at input resolution, or None.
+      Gs: (B, 2, 7) input poses (pose 0 is pinned into the output); defaults
+        to identity.
+      training: BatchNorm mode switch.
+
+    Returns:
+      (poses (B, 2, 7) float32, new_state)
+    """
+    B = images.shape[0]
+    if Gs is None:
+        Gs = jnp.zeros((B, 2, 7), jnp.float32).at[..., 6].set(1.0)
+
+    new_state = dict(state)
+    feats, intr, st = _extract_features(params, state, cfg, images,
+                                        intrinsics, training)
+    new_state.update(st)
+
+    if cfg.fusion_transformer:
+        x = feats + params["pos_embed"].astype(feats.dtype)
+        for blk in params["blocks"]:
+            x = vit_block_apply(blk, x, cfg.num_heads)
+        x = _cross_block(params["cross_block"], cfg, x, intr)
+        features = layernorm_apply(params["norm"], x)
+    else:
+        # (2B, N, 96) -> (B, 24, 24, 192) -> NCHW -> conv pool
+        rf = feats.reshape(-1, cfg.feature_height, cfg.feature_width,
+                           cfg.total_num_features)
+        rf = jnp.transpose(rf, (0, 3, 1, 2))
+        features, st = _conv_pool_head(
+            params["pool_transformer_output"],
+            state["pool_transformer_output"], rf, training)
+        new_state["pool_transformer_output"] = st
+
+    if cfg.noess:
+        # (2B, N, C) -> (B, 24, 24, 2C) -> NCHW -> pool_attn -> flatten
+        f = features.reshape(B, cfg.feature_height, cfg.feature_width, -1)
+        f = jnp.transpose(f, (0, 3, 1, 2))
+        pooled, st = _conv_pool_head(params["pool_attn"], state["pool_attn"],
+                                     f, training)
+        new_state["pool_attn"] = st
+        flat = pooled.reshape(B, -1)
+    else:
+        flat = features.reshape(B, -1)
+
+    flat = flat.astype(jnp.float32)
+    y = linear_apply(params["pose_regressor"]["fc1"], flat)
+    y = jax.nn.relu(y)
+    y = linear_apply(params["pose_regressor"]["fc2"], y)
+    y = jax.nn.relu(y)
+    y = linear_apply(params["pose_regressor"]["fc3"], y)
+    pose_preds = y.reshape(B, cfg.num_images, cfg.pose_size)
+
+    return normalize_preds(Gs, pose_preds), new_state

@@ -1,0 +1,145 @@
+"""Essential Matrix Module compute ops — the paper's core contribution.
+
+Re-implements the reference's ``CrossAttention``
+(``/root/reference/src/modules/vision_transformer.py:160-262``) as pure
+functions over a params pytree:
+
+  1. shared qkv projection applied to both images' tokens;
+  2. cross-attention logits attn_1 = (q2 k1^T) / sqrt(d),
+     attn_2 = (q1 k2^T) / sqrt(d);
+  3. DUAL softmax: softmax(dim=-1) * softmax(dim=-2) elementwise
+     (``:205-206``; ``use_single_softmax`` falls back to row softmax);
+  4. per-head positional 6-vector appended to v: (B, h, N, d+6);
+  5. bilinear "fundamental" contraction F = v^T A v — per head a
+     (d+6)x(d+6) moment matrix analogous to U^T U in the 8-point algorithm;
+  6. head-concat reshape + linear projection to dim.
+
+This file holds the einsum (plain XLA) implementation, used as the numerical
+reference; ``ops.pallas_kernels`` provides a fused Pallas kernel for the
+dual-softmax + bilinear chain with identical math.  The reduction dimension
+N=576 and the 70-wide moment dimension are zero-padded to MXU lanes by XLA.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import linear_init, linear_apply
+
+
+def cross_attention_init(key, dim, num_heads, qkv_bias=True, noess=False,
+                         no_pos_encoding=False, dtype=jnp.float32):
+    """Params for the cross block's attention
+    (``vision_transformer.py:165-186``)."""
+    k_qkv, k_proj = jax.random.split(key)
+    params = {"qkv": linear_init(k_qkv, dim, dim * 3, bias=qkv_bias,
+                                 dtype=dtype)}
+    if noess:
+        params["proj"] = linear_init(k_proj, dim, dim, dtype=dtype)
+    else:
+        pos = 0 if no_pos_encoding else 6 * num_heads
+        params["proj_fundamental"] = linear_init(k_proj, dim + pos, dim,
+                                                 dtype=dtype)
+    return params
+
+
+def _split_heads(qkv, num_heads):
+    """(B, N, 3C) -> three (B, h, N, d)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    qkv = qkv.reshape(B, N, 3, num_heads, C // num_heads)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    return qkv[0], qkv[1], qkv[2]
+
+
+def dual_softmax(attn):
+    """softmax over the last axis times softmax over the second-to-last axis,
+    elementwise (``vision_transformer.py:205-206``).  fp32 internally."""
+    a = attn.astype(jnp.float32)
+    return (jax.nn.softmax(a, axis=-1) * jax.nn.softmax(a, axis=-2))
+
+
+def essential_cross_attention(params, x1, x2, positional, num_heads,
+                              cross_features=False, use_single_softmax=False):
+    """The essential-matrix path of ``CrossAttention.forward``
+    (``vision_transformer.py:188-238``).
+
+    Args:
+      x1, x2: ``(B, N, C)`` pre-normed token sets of the two images.
+      positional: ``(B, N, 6)`` table from ``ops.posenc`` or None
+        (= --no_pos_encoding).
+    Returns:
+      (out1, out2): each ``(B, d+p, C)`` token block where p = 6 if
+      positional encodings are used else 0.  NOTE the ViLBERT-style swap is
+      already applied (out1 is derived from attn_2's stream), matching the
+      reference's flipped return (``:236-238``).
+    """
+    B, N, C = x1.shape
+    d = C // num_heads
+    scale = d ** -0.5
+
+    q1, k1, v1 = _split_heads(linear_apply(params["qkv"], x1), num_heads)
+    q2, k2, v2 = _split_heads(linear_apply(params["qkv"], x2), num_heads)
+
+    attn_1 = jnp.einsum("bhnd,bhmd->bhnm", q2, k1) * scale
+    attn_2 = jnp.einsum("bhnd,bhmd->bhnm", q1, k2) * scale
+
+    if use_single_softmax:
+        af_1 = jax.nn.softmax(attn_1.astype(jnp.float32), axis=-1)
+        af_2 = jax.nn.softmax(attn_2.astype(jnp.float32), axis=-1)
+    else:
+        af_1 = dual_softmax(attn_1)
+        af_2 = dual_softmax(attn_2)
+    af_1 = af_1.astype(x1.dtype)
+    af_2 = af_2.astype(x1.dtype)
+
+    if positional is not None:
+        pos = jnp.broadcast_to(positional[:, None].astype(v1.dtype),
+                               (B, num_heads, N, 6))
+        v1 = jnp.concatenate([v1, pos], axis=-1)   # (B, h, N, d+6)
+        v2 = jnp.concatenate([v2, pos], axis=-1)
+
+    if cross_features:
+        # F1 = v2^T A1 v1 ; F2 = v1^T A2 v2   (:218-220)
+        fund_1 = jnp.einsum("bhne,bhnm,bhmf->bhef", v2, af_1, v1)
+        fund_2 = jnp.einsum("bhne,bhnm,bhmf->bhef", v1, af_2, v2)
+    else:
+        # F1 = v1^T A1 v1 ; F2 = v2^T A2 v2   (:222-223)
+        fund_1 = jnp.einsum("bhne,bhnm,bhmf->bhef", v1, af_1, v1)
+        fund_2 = jnp.einsum("bhne,bhnm,bhmf->bhef", v2, af_2, v2)
+
+    # (B, h, e, e) -> (B, h*e, e) -> transpose -> (B, e, h*e) -> proj -> C
+    e = fund_1.shape[-1]
+    fund_1 = jnp.swapaxes(fund_1.reshape(B, num_heads * e, e), -2, -1)
+    fund_2 = jnp.swapaxes(fund_2.reshape(B, num_heads * e, e), -2, -1)
+
+    fund_2 = linear_apply(params["proj_fundamental"], fund_2)
+    fund_1 = linear_apply(params["proj_fundamental"], fund_1)
+
+    # ViLBERT-style flip (:236-238)
+    return fund_2, fund_1
+
+
+def noess_cross_attention(params, x1, x2, num_heads):
+    """The --noess ablation path (``vision_transformer.py:239-262``):
+    plain softmax cross-attention exchanging features, keeping (B, N, C).
+    Returns (out1, out2) with the ViLBERT flip applied."""
+    B, N, C = x1.shape
+    d = C // num_heads
+    scale = d ** -0.5
+
+    q1, k1, v1 = _split_heads(linear_apply(params["qkv"], x1), num_heads)
+    q2, k2, v2 = _split_heads(linear_apply(params["qkv"], x2), num_heads)
+
+    attn_1 = jnp.einsum("bhnd,bhmd->bhnm", q2, k1) * scale
+    attn_1 = jax.nn.softmax(attn_1.astype(jnp.float32), axis=-1).astype(x1.dtype)
+    y1 = jnp.einsum("bhnm,bhmd->bhnd", attn_1, v1)
+    y1 = jnp.transpose(y1, (0, 2, 1, 3)).reshape(B, N, C)
+
+    attn_2 = jnp.einsum("bhnd,bhmd->bhnm", q1, k2) * scale
+    attn_2 = jax.nn.softmax(attn_2.astype(jnp.float32), axis=-1).astype(x1.dtype)
+    y2 = jnp.einsum("bhnm,bhmd->bhnd", attn_2, v2)
+    y2 = jnp.transpose(y2, (0, 2, 1, 3)).reshape(B, N, C)
+
+    y1 = linear_apply(params["proj"], y1)
+    y2 = linear_apply(params["proj"], y2)
+    return y2, y1
