@@ -141,10 +141,13 @@ def conv2d_apply(params, x, stride=1, padding=0):
 # ------------------------------------------------------------------ pool ----
 
 def max_pool_2d(x, window=3, stride=2, padding=1):
-    """Max pool over NCHW, torch-compatible (pads with -inf)."""
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
+    """Max pool over NCHW, torch-compatible (pads with -inf).
+
+    The init value MUST be the python scalar ``-jnp.inf`` (not a jnp array):
+    JAX only recognizes the max-monoid — and can only transpose the op under
+    jit-of-grad — for scalar identity constants."""
     return jax.lax.reduce_window(
-        x, neg_inf, jax.lax.max,
+        x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 1, window, window),
         window_strides=(1, 1, stride, stride),
         padding=((0, 0), (0, 0), (padding, padding), (padding, padding)),

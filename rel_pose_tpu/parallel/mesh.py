@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's DDP/NCCL stack (``/root/reference/train.py:28-36,66-67,285-291``).
+
+Parallelism model: pure data parallelism over a 1-D ``('data',)`` mesh, the
+same (and only) strategy the reference implements (SURVEY.md §2.8).  Instead
+of explicit process groups and all-reduce calls, the train step is jitted
+with NamedShardings: params/optimizer state replicated, batch sharded on
+'data'; XLA emits the gradient all-reduce over ICI automatically.  Multi-host
+extends this transparently via ``jax.distributed.initialize()`` (call
+``maybe_init_distributed`` before building the mesh).
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed():
+    """Initialize multi-host JAX if a coordinator is configured (no-op on a
+    single host).  Replaces the reference's env:// NCCL rendezvous."""
+    import os
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or \
+            "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def make_mesh(num_devices=None, devices=None):
+    """1-D data-parallel mesh over all (or the first N) local+global devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh):
+    """Sharding for arrays whose leading axis is the global batch."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a pytree of host arrays with the leading axis sharded over
+    'data'.  The global batch size must divide the mesh size."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh, tree):
+    """Replicate a pytree across the mesh."""
+    s = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

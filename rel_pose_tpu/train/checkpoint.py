@@ -1,0 +1,81 @@
+"""Checkpoint save/load + auto-resume (TPU-native).
+
+Replaces the reference's ``torch.save``/auto-resume scheme
+(``/root/reference/train.py:189-203,255-275``) with flax msgpack
+serialization of the full train state pytree:
+``{params, bn_state, opt_state, step}``.
+
+Layout mirrors the reference: ``output/<name>/checkpoints/%06d.ckpt`` saved
+every ``ckpt_every`` steps and at termination; on startup the newest
+checkpoint (``most_recent_ckpt.ckpt`` if present, else the
+highest-numbered) is picked up automatically.
+
+The reference's torch ``.pth`` checkpoints load transparently through
+``utils.convert`` (weights only — the torch Adam moments/scheduler are not
+meaningful to optax and are dropped, equivalent to the reference's
+``--ckpt`` warm start path, ``train.py:75-86``).
+"""
+
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+CKPT_SUFFIX = ".ckpt"
+
+
+def save_checkpoint(path, tree):
+    """Serialize a pytree to ``path`` (msgpack).  Device arrays are pulled to
+    host first."""
+    tree = jax.tree.map(np.asarray, tree)
+    data = serialization.to_bytes(tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, template):
+    """Deserialize into the structure of ``template`` (same pytree shape the
+    trainer builds from scratch)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def checkpoint_path(name, step, output_dir="output"):
+    return os.path.join(output_dir, name, "checkpoints",
+                        f"{step:06d}{CKPT_SUFFIX}")
+
+
+def find_resume_checkpoint(name, output_dir="output"):
+    """Newest checkpoint in ``output/<name>/checkpoints`` or None.
+
+    Mirrors ``train.py:255-275``: prefers ``most_recent_ckpt``, else the
+    highest-numbered file.
+    """
+    d = os.path.join(output_dir, name, "checkpoints")
+    if not os.path.isdir(d):
+        return None
+    entries = [f for f in os.listdir(d) if f.endswith(CKPT_SUFFIX)]
+    if not entries:
+        return None
+    if f"most_recent_ckpt{CKPT_SUFFIX}" in entries:
+        return os.path.join(d, f"most_recent_ckpt{CKPT_SUFFIX}")
+    numbered = []
+    for f in entries:
+        m = re.fullmatch(r"(\d+)" + re.escape(CKPT_SUFFIX), f)
+        if m:
+            numbered.append(int(m.group(1)))
+    if not numbered:
+        return None
+    return os.path.join(d, f"{max(numbered):06d}{CKPT_SUFFIX}")
+
+
+def ensure_output_dirs(name, output_dir="output"):
+    """Create the reference's output layout (``train.py:255-260``)."""
+    for sub in ("checkpoints", "runs", "train_output/images"):
+        os.makedirs(os.path.join(output_dir, name, sub), exist_ok=True)

@@ -1,0 +1,36 @@
+"""Optimizer + LR schedule (optax), matching the reference's recipe.
+
+Reference (``/root/reference/train.py:69-73,158-166``):
+  * Adam(lr, weight_decay=1e-5) — torch Adam's weight_decay is L2 added to
+    the gradient BEFORE the moment update (not AdamW), reproduced here with
+    ``optax.add_decayed_weights`` ahead of ``scale_by_adam``;
+  * OneCycleLR(max_lr, total_steps, pct_start=warmup/steps, div_factor=25,
+    cycle_momentum=False) with the default cosine annealing and
+    final_div_factor=1e4 — exactly ``optax.cosine_onecycle_schedule``;
+  * gradient clipping by global norm 2.5 applied before the update.
+"""
+
+import optax
+
+
+def onecycle_schedule(lr, steps, warmup):
+    return optax.cosine_onecycle_schedule(
+        transition_steps=steps,
+        peak_value=lr,
+        pct_start=warmup / steps,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+
+
+def make_optimizer(lr=5e-4, steps=120000, warmup=10000, weight_decay=1e-5,
+                   clip=2.5):
+    """Returns (optax optimizer, schedule fn)."""
+    schedule = onecycle_schedule(lr, steps, warmup)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule),  # includes the -1 sign
+    )
+    return tx, schedule

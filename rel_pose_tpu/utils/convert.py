@@ -1,0 +1,253 @@
+"""PyTorch <-> JAX checkpoint conversion for ViTEss.
+
+The reference ships pretrained ``.pth`` checkpoints (``{"model": state_dict,
+"optimizer": ..., "scheduler": ...}``, saved at
+``/root/reference/train.py:189-194``) whose keys may carry a DDP ``module.``
+prefix (stripped on load, ``test_matterport.py:109-111``).  This module maps
+that state dict onto our (params, state) pytrees and back.
+
+Layout conversions:
+  * torch Linear weight (out, in)  ->  ours (in, out)  (transpose)
+  * torch Conv2d weight OIHW       ->  ours OIHW       (copy)
+  * BatchNorm running_mean/var     ->  state pytree
+  * resnet layer3/layer4/fc are dropped: never executed by the reference
+    forward (``src/model.py:127-132``) and frozen during training
+    (``train.py:59-64``).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+# ------------------------------------------------------- key-map builders ----
+
+def _linear(prefix):
+    return {"w": (f"{prefix}.weight", "T"), "b": (f"{prefix}.bias", "")}
+
+
+def _conv(prefix, bias=True):
+    m = {"w": (f"{prefix}.weight", "")}
+    if bias:
+        m["b"] = (f"{prefix}.bias", "")
+    return m
+
+
+def _ln(prefix):
+    return {"scale": (f"{prefix}.weight", ""), "bias": (f"{prefix}.bias", "")}
+
+
+def _bn_params(prefix):
+    return {"scale": (f"{prefix}.weight", ""), "bias": (f"{prefix}.bias", "")}
+
+
+def _bn_state(prefix):
+    return {"mean": (f"{prefix}.running_mean", ""),
+            "var": (f"{prefix}.running_var", ""),
+            "count": (f"{prefix}.num_batches_tracked", "")}
+
+
+def _basic_block_maps(prefix, downsample):
+    p = {
+        "conv1": _conv(f"{prefix}.conv1", bias=False),
+        "bn1": _bn_params(f"{prefix}.bn1"),
+        "conv2": _conv(f"{prefix}.conv2", bias=False),
+        "bn2": _bn_params(f"{prefix}.bn2"),
+    }
+    s = {"bn1": _bn_state(f"{prefix}.bn1"), "bn2": _bn_state(f"{prefix}.bn2")}
+    if downsample:
+        p["downsample_conv"] = _conv(f"{prefix}.downsample.0", bias=False)
+        p["downsample_bn"] = _bn_params(f"{prefix}.downsample.1")
+        s["downsample_bn"] = _bn_state(f"{prefix}.downsample.1")
+    return p, s
+
+
+def _vit_block_maps(prefix):
+    return {
+        "norm1": _ln(f"{prefix}.norm1"),
+        "qkv": _linear(f"{prefix}.attn.qkv"),
+        "proj": _linear(f"{prefix}.attn.proj"),
+        "norm2": _ln(f"{prefix}.norm2"),
+        "mlp": {"fc1": _linear(f"{prefix}.mlp.fc1"),
+                "fc2": _linear(f"{prefix}.mlp.fc2")},
+    }
+
+
+def _conv_pool_maps(prefix):
+    """nn.Sequential(conv, bn, relu, conv, bn) heads (src/model.py:64-81)."""
+    p = {
+        "conv1": _conv(f"{prefix}.0"),
+        "bn1": _bn_params(f"{prefix}.1"),
+        "conv2": _conv(f"{prefix}.3"),
+        "bn2": _bn_params(f"{prefix}.4"),
+    }
+    s = {"bn1": _bn_state(f"{prefix}.1"), "bn2": _bn_state(f"{prefix}.4")}
+    return p, s
+
+
+def build_key_maps(cfg: ModelConfig):
+    """Returns (params_map, state_map): pytrees whose leaves are
+    (torch_key, transform) pairs."""
+    pmap, smap = {}, {}
+
+    # resnet trunk
+    rp = {"conv1": _conv("resnet.conv1", bias=False),
+          "bn1": _bn_params("resnet.bn1")}
+    rs = {"bn1": _bn_state("resnet.bn1")}
+    for layer, blocks in (("layer1", ("layer1_0", "layer1_1")),
+                          ("layer2", ("layer2_0", "layer2_1"))):
+        for i, name in enumerate(blocks):
+            down = (layer == "layer2" and i == 0)
+            rp[name], rs[name] = _basic_block_maps(f"resnet.{layer}.{i}", down)
+    pmap["resnet"], smap["resnet"] = rp, rs
+
+    # extractor residual block (norm3 also appears as downsample.1 — same
+    # module object in the reference, identical values)
+    ep = {
+        "conv1": _conv("extractor_final_conv.conv1"),
+        "norm1": _bn_params("extractor_final_conv.norm1"),
+        "conv2": _conv("extractor_final_conv.conv2"),
+        "norm2": _bn_params("extractor_final_conv.norm2"),
+        "downsample_conv": _conv("extractor_final_conv.downsample.0"),
+        "norm3": _bn_params("extractor_final_conv.norm3"),
+    }
+    es = {"norm1": _bn_state("extractor_final_conv.norm1"),
+          "norm2": _bn_state("extractor_final_conv.norm2"),
+          "norm3": _bn_state("extractor_final_conv.norm3")}
+    pmap["extractor_final_conv"], smap["extractor_final_conv"] = ep, es
+
+    if cfg.fusion_transformer:
+        pmap["pos_embed"] = ("fusion_transformer.pos_embed", "")
+        pmap["blocks"] = [
+            _vit_block_maps(f"fusion_transformer.blocks.{i}")
+            for i in range(cfg.transformer_depth - 1)
+        ]
+        ci = cfg.transformer_depth - 1
+        cross = {
+            "norm1": _ln(f"fusion_transformer.blocks.{ci}.norm1"),
+            "norm2": _ln(f"fusion_transformer.blocks.{ci}.norm2"),
+            "mlp": {"fc1": _linear(f"fusion_transformer.blocks.{ci}.mlp.fc1"),
+                    "fc2": _linear(f"fusion_transformer.blocks.{ci}.mlp.fc2")},
+        }
+        ca = {"qkv": _linear(f"fusion_transformer.blocks.{ci}.cross_attn.qkv")}
+        if cfg.noess:
+            ca["proj"] = _linear(
+                f"fusion_transformer.blocks.{ci}.cross_attn.proj")
+        else:
+            ca["proj_fundamental"] = _linear(
+                f"fusion_transformer.blocks.{ci}.cross_attn.proj_fundamental")
+        cross["cross_attn"] = ca
+        pmap["cross_block"] = cross
+        pmap["norm"] = _ln("fusion_transformer.norm")
+    else:
+        pp, ps = _conv_pool_maps("pool_transformer_output")
+        pmap["pool_transformer_output"] = pp
+        smap["pool_transformer_output"] = ps
+
+    if cfg.noess:
+        pp, ps = _conv_pool_maps("pool_attn")
+        pmap["pool_attn"] = pp
+        smap["pool_attn"] = ps
+
+    pmap["pose_regressor"] = {
+        "fc1": _linear("pose_regressor.0"),
+        "fc2": _linear("pose_regressor.2"),
+        "fc3": _linear("pose_regressor.4"),
+    }
+    return pmap, smap
+
+
+# ------------------------------------------------------------- converters ----
+
+def _is_leaf_spec(x):
+    return isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], str)
+
+
+def _gather(spec, sd, dtype):
+    if _is_leaf_spec(spec):
+        key, tf = spec
+        if key not in sd:
+            raise KeyError(f"checkpoint missing key: {key}")
+        arr = _np(sd[key])
+        if tf == "T":
+            arr = arr.T
+        if arr.dtype.kind == "f":
+            arr = arr.astype(dtype)
+        return jnp.asarray(arr)
+    if isinstance(spec, dict):
+        return {k: _gather(v, sd, dtype) for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [_gather(v, sd, dtype) for v in spec]
+    raise TypeError(type(spec))
+
+
+def convert_torch_state_dict(state_dict, cfg: ModelConfig,
+                             dtype=np.float32):
+    """Torch ``model`` state dict -> (params, state) pytrees.
+
+    Accepts keys with or without the DDP ``module.`` prefix.
+    """
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+    pmap, smap = build_key_maps(cfg)
+    params = _gather(pmap, sd, dtype)
+    state = _gather(smap, sd, dtype)
+    # count arrives as a 0-d int64 tensor; normalize dtype
+    def fix_counts(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "count" in v and not isinstance(v["count"], dict):
+                    v["count"] = jnp.asarray(_np(v["count"]),
+                                             jnp.int32).reshape(())
+                else:
+                    fix_counts(v)
+    fix_counts(state)
+    return params, state
+
+
+def _scatter(spec, tree, out):
+    if _is_leaf_spec(spec):
+        key, tf = spec
+        arr = np.asarray(tree)
+        if tf == "T":
+            arr = arr.T
+        out[key] = arr
+        return
+    if isinstance(spec, dict):
+        for k, v in spec.items():
+            _scatter(v, tree[k], out)
+        return
+    if isinstance(spec, list):
+        for sv, tv in zip(spec, tree):
+            _scatter(sv, tv, out)
+        return
+    raise TypeError(type(spec))
+
+
+def export_torch_state_dict(params, state, cfg: ModelConfig):
+    """(params, state) -> flat dict of numpy arrays with reference torch
+    naming (for interop / round-trip testing)."""
+    pmap, smap = build_key_maps(cfg)
+    out = {}
+    _scatter(pmap, params, out)
+    _scatter(smap, state, out)
+    return out
+
+
+def load_torch_checkpoint(path, cfg: ModelConfig):
+    """Load a reference ``.pth`` checkpoint file -> (params, state).
+
+    Mirrors the eval CLIs' load (``test_matterport.py:108-111``): takes the
+    ``model`` entry and strips ``module.`` prefixes.
+    """
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    return convert_torch_state_dict(sd, cfg)
