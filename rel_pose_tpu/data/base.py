@@ -51,8 +51,15 @@ class RGBDDataset:
         self.is_training = is_training
         # NOTE: the reference applies the photometric augmentor to ALL splits
         # including validation (base.py:66,92 call it unconditionally); we
-        # keep that semantic by default but let callers disable it.
-        self.aug = RGBDAugmentor(reshape_size, rng=rng) if augment else None
+        # keep that semantic by default but let callers disable the
+        # photometric part (the resize always runs — it is geometry, not
+        # augmentation).
+        if augment:
+            self.aug = RGBDAugmentor(reshape_size, rng=rng)
+        else:
+            self.aug = RGBDAugmentor(reshape_size, rng=rng, brightness=0,
+                                     contrast=0, saturation=0, hue=0,
+                                     p_gray=0)
         self.reshape_size = reshape_size
         self.scene_info = self._build_dataset(subepoch)
 
@@ -66,8 +73,7 @@ class RGBDDataset:
             self.scene_info["intrinsics"][index]).astype(np.float32)
         images = np.stack([image_read(p) for p in images_list])
         images = images.astype(np.float32).transpose(0, 3, 1, 2)  # (2,3,H,W)
-        if self.aug is not None:
-            images, poses, intrinsics = self.aug(images, poses, intrinsics)
+        images, poses, intrinsics = self.aug(images, poses, intrinsics)
         return images, poses, intrinsics
 
     def __getitem__(self, index):

@@ -46,6 +46,18 @@ def load_checkpoint(path, template):
     return serialization.from_bytes(template, data)
 
 
+def load_params_only(path, params_template, state_template):
+    """Extract just (params, bn_state) from a full train-state checkpoint —
+    the inference-side load used by the eval/demo CLIs (optimizer state is
+    ignored, mirroring their ``['model']``-only torch load,
+    ``test_matterport.py:109-111``)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params_template, raw["params"])
+    bn = serialization.from_state_dict(state_template, raw["bn_state"])
+    return params, bn
+
+
 def checkpoint_path(name, step, output_dir="output"):
     return os.path.join(output_dir, name, "checkpoints",
                         f"{step:06d}{CKPT_SUFFIX}")

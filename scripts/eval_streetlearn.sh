@@ -1,0 +1,9 @@
+#!/bin/bash
+export INTERIORNET_STREETLEARN_PATH=${INTERIORNET_STREETLEARN_PATH:-data}
+
+CKPT=${CKPT:-pretrained_models/streetlearn.pth}
+EXPNAME=streetlearn
+
+python test_streetlearn_interiornet.py --exp ${EXPNAME} --transformer_depth 6 \
+        --fusion_transformer --ckpt $CKPT \
+        --datapath=$INTERIORNET_STREETLEARN_PATH --dataset streetlearn

@@ -1,0 +1,10 @@
+#!/bin/bash
+export INTERIORNET_STREETLEARN_PATH=${INTERIORNET_STREETLEARN_PATH:-data}
+
+CKPT=${CKPT:-pretrained_models/streetlearn_t.pth}
+EXPNAME=streetlearn_t
+
+python test_streetlearn_interiornet.py --exp ${EXPNAME} --transformer_depth 6 \
+        --fusion_transformer --ckpt $CKPT \
+        --datapath=$INTERIORNET_STREETLEARN_PATH --dataset streetlearn \
+        --streetlearn_interiornet_type T

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Matterport test-split evaluation CLI (parity with
+``/root/reference/test_matterport.py``).
+
+Computes translation/rotation error statistics over
+``mp3d_planercnn_json/cached_set_test.json`` and writes
+``output/<exp>/matterport_test/{results.txt, gt_*_magnitude_vs_error.csv}``.
+
+TPU-native additions vs the reference: batched jitted inference (the
+reference runs batch 1; results are batch-size invariant since BatchNorm is
+in eval mode) and host-side image decode overlapped with device compute.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from rel_pose_tpu.config import add_model_flags, model_config_from_args
+from rel_pose_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+from rel_pose_tpu.data.base import image_read
+
+DEPTH_SCALE = 5
+
+
+def eval_camera(predictions, exp, output_folder):
+    """Metric suite (reference ``eval_camera``, test_matterport.py:27-68)."""
+    acc_threshold = {"tran": 1.0, "rot": 30}
+
+    pred_tran = np.vstack(predictions["camera"]["preds"]["tran"])
+    pred_rot = np.vstack(predictions["camera"]["preds"]["rot"])
+    gt_tran = np.vstack(predictions["camera"]["gts"]["tran"])
+    gt_rot = np.vstack(predictions["camera"]["gts"]["rot"])
+
+    top1_error = {
+        "tran": np.linalg.norm(gt_tran - pred_tran, axis=1),
+        "rot": 2 * np.arccos(np.clip(np.abs(
+            np.sum(pred_rot * gt_rot, axis=1)), -1.0, 1.0)) * 180 / np.pi,
+    }
+    top1_accuracy = {
+        k: (top1_error[k] < acc_threshold[k]).sum() / len(top1_error[k])
+        for k in ("tran", "rot")
+    }
+    camera_metrics = {
+        f"top1 T err < {acc_threshold['tran']}": top1_accuracy["tran"] * 100,
+        f"top1 R err < {acc_threshold['rot']}": top1_accuracy["rot"] * 100,
+        "T mean err": np.mean(top1_error["tran"]),
+        "R mean err": np.mean(top1_error["rot"]),
+        "T median err": np.median(top1_error["tran"]),
+        "R median err": np.median(top1_error["rot"]),
+    }
+
+    gt_mags = {"tran": np.linalg.norm(gt_tran, axis=1),
+               "rot": 2 * np.arccos(np.clip(gt_rot[:, 0], -1, 1)) * 180 / np.pi}
+    out_dir = os.path.join("output", exp, output_folder)
+    np.savetxt(os.path.join(out_dir, "gt_translation_magnitude_vs_error.csv"),
+               np.stack([gt_mags["tran"], top1_error["tran"]], axis=1),
+               delimiter=",", fmt="%1.5f")
+    np.savetxt(os.path.join(out_dir, "gt_rotation_magnitude_vs_error.csv"),
+               np.stack([gt_mags["rot"], top1_error["rot"]], axis=1),
+               delimiter=",", fmt="%1.5f")
+    return camera_metrics
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--datapath", required=True)
+    parser.add_argument("--weights")
+    parser.add_argument("--image_size", default=[384, 512])
+    parser.add_argument("--exp", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--gamma", type=float, default=0.9)
+    parser.add_argument("--batch", type=int, default=16,
+                        help="inference batch size (results are identical "
+                             "to batch 1; larger = faster on TPU)")
+    add_model_flags(parser)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+    from rel_pose_tpu.train.step import make_forward_fn
+    from demo import load_params
+
+    cfg = model_config_from_args(args)
+
+    with open(os.path.join(args.datapath,
+                           "mp3d_planercnn_json/cached_set_test.json")) as f:
+        test_split = json.load(f)
+    dset = test_split["data"]
+    output_folder = "matterport_test"
+    print("performing evaluation on %s set using model %s"
+          % (output_folder, args.ckpt))
+    os.makedirs(os.path.join("output", args.exp, output_folder), exist_ok=True)
+
+    params, bn_state = load_params(args.ckpt, cfg)
+    fwd = make_forward_fn(cfg)
+
+    intrinsics = np.array([[517.97, 517.97, 320, 240]] * 2, dtype=np.float32)
+
+    predictions = {"camera": {"preds": {"tran": [], "rot": []},
+                              "gts": {"tran": [], "rot": []}}}
+
+    def load_pair(entry):
+        imgs = []
+        for imgnum in ("0", "1"):
+            name = os.path.join(
+                args.datapath,
+                "/".join(str(entry[imgnum]["file_name"]).split("/")[6:]))
+            imgs.append(image_read(name))
+        return np.stack(imgs).astype(np.float32).transpose(0, 3, 1, 2)
+
+    from rel_pose_tpu.ops.image import nearest_resize
+    from tqdm import tqdm
+
+    B = args.batch
+    for start in tqdm(range(0, len(dset), B)):
+        chunk = dset[start:start + B]
+        images = np.stack([load_pair(e) for e in chunk])
+        images = nearest_resize(jnp.asarray(images), (384, 512))
+        intr = jnp.asarray(np.tile(intrinsics[None], (len(chunk), 1, 1)))
+        poses = np.asarray(fwd(params, bn_state, images, intr))
+
+        for i, entry in enumerate(chunk):
+            predictions["camera"]["gts"]["tran"].append(
+                entry["rel_pose"]["position"])
+            gt_rotation = list(entry["rel_pose"]["rotation"])
+            if gt_rotation[0] < 0:  # sign-normalize to W >= 0 (W-first here)
+                gt_rotation = [-v for v in gt_rotation]
+            predictions["camera"]["gts"]["rot"].append(gt_rotation)
+
+            preds = poses[i, 1].copy()
+            pr_copy = preds.copy()
+            # undo training preprocessing (test_matterport.py:151-153):
+            # W-last -> W-first (swap 3 & 6), translation * DEPTH_SCALE
+            preds[3] = pr_copy[6]
+            preds[6] = pr_copy[3]
+            preds[:3] = preds[:3] * DEPTH_SCALE
+            predictions["camera"]["preds"]["tran"].append(preds[:3])
+            predictions["camera"]["preds"]["rot"].append(preds[3:])
+
+    camera_metrics = eval_camera(predictions, args.exp, output_folder)
+    for k in camera_metrics:
+        print(k, camera_metrics[k])
+    with open(os.path.join("output", args.exp, output_folder,
+                           "results.txt"), "w") as f:
+        for k in camera_metrics:
+            print(k, camera_metrics[k], file=f)
+
+
+if __name__ == "__main__":
+    main()

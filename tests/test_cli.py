@@ -1,0 +1,163 @@
+"""End-to-end CLI integration tests (subprocess, CPU backend).
+
+Exercises the same entry points a reference user would run: train a couple of
+steps on a synthetic Matterport tree (with checkpointing + auto-resume),
+evaluate with test_matterport.py, and predict a pair with demo.py.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import cv2
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["RELPOSE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=1200)
+
+
+def make_matterport_tree(root, n=4, hw=(120, 160)):
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(n):
+        files = []
+        for j in range(2):
+            rel = f"imgs/s{i}_{j}.png"
+            path = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cv2.imwrite(path, rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+            files.append("a/b/c/d/e/f/" + rel)
+        entries.append({
+            "0": {"file_name": files[0]},
+            "1": {"file_name": files[1]},
+            "rel_pose": {"position": [0.5, 0.1, -0.2],
+                         "rotation": [0.9, 0.1, 0.2, 0.38]},
+        })
+    os.makedirs(os.path.join(root, "mp3d_planercnn_json"), exist_ok=True)
+    for split in ("train", "val", "test"):
+        with open(os.path.join(root, "mp3d_planercnn_json",
+                               f"cached_set_{split}.json"), "w") as f:
+            json.dump({"data": entries}, f)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("cli")
+    make_matterport_tree(str(wd / "matterport"))
+    return wd
+
+
+MODEL_FLAGS = ["--transformer_depth", "2", "--fusion_transformer"]
+
+
+class TestTrainCLI:
+    def test_train_checkpoint_resume_eval_demo(self, workdir):
+        wd = str(workdir)
+        # ---- train 2 steps, checkpoint every step
+        r = run_cli([os.path.join(REPO, "train.py"),
+                     "--name", "exp", "--datapath", "matterport",
+                     "--dataset", "matterport", "--batch", "2", "--no_ddp",
+                     "--steps", "2", "--ckpt_every", "1",
+                     "--warmup", "1", "--num_workers", "1"] + MODEL_FLAGS,
+                    cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        ckpt_dir = os.path.join(wd, "output", "exp", "checkpoints")
+        ckpts = sorted(os.listdir(ckpt_dir))
+        assert "000002.ckpt" in ckpts, (ckpts, r.stdout[-2000:])
+
+        # ---- auto-resume: continue to step 3
+        r = run_cli([os.path.join(REPO, "train.py"),
+                     "--name", "exp", "--datapath", "matterport",
+                     "--dataset", "matterport", "--batch", "2", "--no_ddp",
+                     "--steps", "3", "--ckpt_every", "1",
+                     "--warmup", "1", "--num_workers", "1"] + MODEL_FLAGS,
+                    cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "loading existing checkpoint" in r.stdout
+        assert "000003.ckpt" in os.listdir(ckpt_dir)
+
+        ckpt = os.path.join(ckpt_dir, "000002.ckpt")
+
+        # ---- eval CLI on the test split
+        r = run_cli([os.path.join(REPO, "test_matterport.py"),
+                     "--exp", "exp", "--datapath", "matterport",
+                     "--ckpt", ckpt, "--batch", "2"] + MODEL_FLAGS, cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        results = os.path.join(wd, "output", "exp", "matterport_test",
+                               "results.txt")
+        assert os.path.exists(results)
+        text = open(results).read()
+        assert "T mean err" in text and "R mean err" in text
+        assert os.path.exists(os.path.join(
+            wd, "output", "exp", "matterport_test",
+            "gt_rotation_magnitude_vs_error.csv"))
+
+        # ---- demo CLI ("matterport" in ckpt path triggers that branch)
+        img1 = os.path.join(wd, "matterport", "imgs", "s0_0.png")
+        img2 = os.path.join(wd, "matterport", "imgs", "s0_1.png")
+        demo_ckpt = os.path.join(wd, "matterport_demo.ckpt")
+        import shutil
+        shutil.copy(ckpt, demo_ckpt)
+        r = run_cli([os.path.join(REPO, "demo.py"),
+                     "--img1", img1, "--img2", img2,
+                     "--ckpt", demo_ckpt] + MODEL_FLAGS[:2], cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "predicted R&t" in r.stdout
+
+
+class TestStreetlearnInteriornetCLI:
+    def test_eval_interiornet(self, workdir, tmp_path):
+        wd = str(workdir)
+        root = str(tmp_path / "inet")
+        rng = np.random.default_rng(1)
+        split = {}
+        for i in range(3):
+            p1, p2 = f"s/{i}a.png", f"s/{i}b.png"
+            for p in (p1, p2):
+                full = os.path.join(root, "data", "interiornet", p)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                cv2.imwrite(full, rng.integers(0, 255, (128, 128, 3),
+                                               dtype=np.uint8))
+            split[i] = {"img1": {"path": p1, "x": 0.2 * i, "y": 0.1},
+                        "img2": {"path": p2, "x": 0.1, "y": -0.2}}
+        os.makedirs(os.path.join(root, "metadata", "interiornet"),
+                    exist_ok=True)
+        np.save(os.path.join(root, "metadata", "interiornet",
+                             "test_pair_rotation.npy"),
+                np.array([split], dtype=object), allow_pickle=True)
+
+        ckpt = os.path.join(wd, "output", "exp", "checkpoints", "000002.ckpt")
+        r = run_cli([os.path.join(REPO, "test_streetlearn_interiornet.py"),
+                     "--exp", "inet", "--datapath", root,
+                     "--dataset", "interiornet", "--ckpt", ckpt,
+                     "--batch", "2"] + MODEL_FLAGS, cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        results = os.path.join(wd, "output", "inet", "interiornet_test",
+                               "results.txt")
+        assert os.path.exists(results)
+        assert "rotation_geodesic_error" in open(results).read()
+
+
+class TestEpipolarCLI:
+    def test_generate_epipolar(self, tmp_path):
+        rng = np.random.default_rng(2)
+        os.makedirs(str(tmp_path / "demo"), exist_ok=True)
+        for name in ("matterport_1.png", "matterport_2.png"):
+            cv2.imwrite(str(tmp_path / "demo" / name),
+                        rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+        r = run_cli([os.path.join(REPO, "generate_epipolar_imgs.py")],
+                    cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.exists(
+            str(tmp_path / "demo" / "matterport_1_epipolar_points.png"))
+        assert os.path.exists(
+            str(tmp_path / "demo" / "matterport_2_epipolar_lines.png"))

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Training CLI (parity with ``/root/reference/train.py``).
+
+TPU-native execution model: ONE process per host driving all local chips via
+SPMD (jit + NamedShardings over a 1-D 'data' mesh) — replacing the
+reference's mp.spawn + DDP + NCCL (``train.py:28-36,285-291``).  Gradient
+all-reduce is emitted by XLA over ICI; multi-host runs initialize via
+``jax.distributed`` when a coordinator is configured.
+
+Batch semantics match DDP: ``--batch`` is the per-device batch; the global
+batch is ``batch * num_devices``.  ``--gpus`` is accepted for script parity
+and caps the number of devices used.
+
+Subepoch protocol (``train.py:109-209``): subepochs 0-9 train on dataset
+tenths; subepoch 10 is validation for Matterport (InteriorNet/StreetLearn
+reset at 10 following Cai et al.).  Checkpoints every 10k steps with
+auto-resume from the newest one.
+"""
+
+import argparse
+import os
+from datetime import datetime
+
+import numpy as np
+
+from rel_pose_tpu.config import add_model_flags, model_config_from_args
+from rel_pose_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    # training (reference flags, train.py:219-231)
+    parser.add_argument("--w_tr", type=float, default=10.0)
+    parser.add_argument("--w_rot", type=float, default=10.0)
+    parser.add_argument("--warmup", type=int, default=10000)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="per-device batch (DDP semantics)")
+    parser.add_argument("--steps", type=int, default=120000)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--clip", type=float, default=2.5)
+    parser.add_argument("--weight_decay", type=float, default=1e-5)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--no_ddp", action="store_true", default=False,
+                        help="use a single device")
+    parser.add_argument("--gpus", type=int, default=None,
+                        help="cap on devices used (script parity; default: "
+                             "all local devices)")
+    parser.add_argument("--ckpt", help="checkpoint to restore (warm start)")
+    parser.add_argument("--name", default="bla", help="name your experiment")
+    # data
+    parser.add_argument("--datapath")
+    parser.add_argument("--image_size", default=[384, 512])
+    parser.add_argument("--exp")
+    parser.add_argument("--use_mini_dataset", action="store_true")
+    parser.add_argument("--streetlearn_interiornet_type", default="",
+                        choices=("", "T"))
+    parser.add_argument("--dataset", default="matterport",
+                        choices=("matterport", "interiornet", "streetlearn"))
+    parser.add_argument("--ckpt_every", type=int, default=10000)
+    add_model_flags(parser)
+    args = parser.parse_args()
+    print(args)
+
+    import jax
+    import jax.numpy as jnp
+    from rel_pose_tpu.data import dataset_factory, DataLoader
+    from rel_pose_tpu.models import vitess_init
+    from rel_pose_tpu.parallel import make_mesh, shard_batch, replicate
+    from rel_pose_tpu.parallel.mesh import maybe_init_distributed
+    from rel_pose_tpu.train import (
+        TrainState, make_optimizer, make_train_step, make_eval_step, Logger,
+        save_checkpoint, load_checkpoint, checkpoint_path,
+        find_resume_checkpoint, ensure_output_dirs,
+    )
+
+    maybe_init_distributed()
+
+    cfg = model_config_from_args(args)
+    ensure_output_dirs(args.name)
+
+    # args snapshot (train.py:278-283)
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M")
+    with open(f"output/{args.name}/args_{stamp}.txt", "w") as f:
+        for k, v in vars(args).items():
+            f.write(f"{k}  {v}\n")
+
+    # mesh
+    n_dev = 1 if args.no_ddp else (args.gpus or len(jax.devices()))
+    mesh = make_mesh(num_devices=n_dev)
+    global_batch = args.batch * mesh.size
+    print(f"devices: {mesh.size}, per-device batch {args.batch}, "
+          f"global batch {global_batch}")
+
+    # model + optimizer
+    params, bn_state = vitess_init(jax.random.PRNGKey(args_seed := 0), cfg)
+    tx, schedule = make_optimizer(lr=args.lr, steps=args.steps,
+                                  warmup=args.warmup,
+                                  weight_decay=args.weight_decay,
+                                  clip=args.clip)
+    state = TrainState.create(params, bn_state, tx)
+
+    # restore: --ckpt warm start, else auto-resume newest
+    resume = find_resume_checkpoint(args.name)
+    if args.ckpt is not None:
+        print("loading separate checkpoint", args.ckpt)
+        if args.ckpt.endswith(".pth"):
+            from rel_pose_tpu.utils.convert import load_torch_checkpoint
+            p, s = load_torch_checkpoint(args.ckpt, cfg)
+            state = state.replace(params=p, bn_state=s)
+        else:
+            tree = load_checkpoint(args.ckpt, jax.tree.map(np.asarray, state))
+            state = jax.tree.map(jnp.asarray, tree)
+    elif resume is not None:
+        print("loading existing checkpoint", resume)
+        tree = load_checkpoint(resume, jax.tree.map(np.asarray, state))
+        state = jax.tree.map(jnp.asarray, tree)
+
+    state = replicate(mesh, state)
+    train_step = make_train_step(cfg, tx, args.w_tr, args.w_rot, mesh=mesh)
+    eval_step = make_eval_step(cfg, args.w_tr, args.w_rot, mesh=mesh)
+
+    logger = Logger(args.name, schedule)
+    train_steps = int(jax.device_get(state.step))
+    subepoch = 0
+    epoch_count = 0
+    should_keep_training = train_steps < args.steps
+
+    while should_keep_training:
+        is_training = subepoch != 10
+        train_val = "train" if is_training else "val"
+
+        db = dataset_factory(
+            [args.dataset], datapath=args.datapath, subepoch=subepoch,
+            is_training=is_training,
+            streetlearn_interiornet_type=args.streetlearn_interiornet_type,
+            use_mini_dataset=args.use_mini_dataset)
+        loader = DataLoader(
+            db, batch_size=global_batch // jax.process_count(),
+            shuffle=is_training, seed=args_seed, epoch=epoch_count * 11 + subepoch,
+            num_workers=args.num_workers,
+            num_shards=jax.process_count(), shard_index=jax.process_index())
+
+        from tqdm import tqdm
+        for i_batch, (images, poses, intrinsics) in enumerate(tqdm(loader)):
+            batch = shard_batch(mesh, (jnp.asarray(images),
+                                       jnp.asarray(poses),
+                                       jnp.asarray(intrinsics)))
+            if is_training:
+                state, metrics, poses_est = train_step(state, *batch)
+                train_steps += 1
+            else:
+                metrics, poses_est = eval_step(state, *batch)
+
+            if jax.process_index() == 0:
+                logger.push({k: float(v) for k, v in metrics.items()
+                             if k != "loss"})
+                if i_batch % 20 == 0:
+                    np.set_printoptions(suppress=True, linewidth=150)
+                    print("\n estimated pose")
+                    print(np.asarray(poses_est[0]))
+                    print("ground truth pose")
+                    print(np.asarray(poses[0]))
+                if (i_batch + 10) % 20 == 0:
+                    print("\n metrics:",
+                          {k: float(v) for k, v in metrics.items()}, "\n")
+                if i_batch % 100 == 0:
+                    print(f"epoch {epoch_count}\nsubepoch: {subepoch}\n"
+                          f"using {train_val} set")
+
+            if (is_training and train_steps % args.ckpt_every == 0
+                    and jax.process_index() == 0):
+                save_checkpoint(checkpoint_path(args.name, train_steps),
+                                jax.device_get(state))
+
+            if train_steps >= args.steps:
+                if jax.process_index() == 0:
+                    save_checkpoint(checkpoint_path(args.name, train_steps),
+                                    jax.device_get(state))
+                should_keep_training = False
+                break
+
+        subepoch += 1
+        if subepoch == 11 or (subepoch == 10 and args.dataset in
+                              ("interiornet", "streetlearn")):
+            # no val subepoch for interiornet/streetlearn (train.py:205-208)
+            subepoch = 0
+            epoch_count += 1
+
+    print("finished training!")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
