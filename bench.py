@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: eval-forward throughput of the flagship ViTEss on one chip.
+
+Prints ONE JSON line:
+  {"metric": "eval_pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / 5000.0}
+
+Baseline: the north-star target from BASELINE.md — 5,000 image pairs/sec/chip
+at 256px eval on TPU v5e (the reference publishes no in-repo throughput; its
+eval loop is unbatched PyTorch on a GTX 1080 Ti).
+
+Protocol: 256x256 input pairs (InteriorNet/StreetLearn eval resolution),
+bf16 compute path, batched jitted forward including in-graph preprocessing
+(BGR flip, ImageNet normalize, nearest resize to 224) — the full eval compute
+except host-side JPEG decode.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    import jax
+    import jax.numpy as jnp
+    from rel_pose_tpu.config import ModelConfig
+    from rel_pose_tpu.models import vitess_init, vitess_forward
+
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0, 255, (batch, 2, 3, 256, 256)).astype(np.float32))
+    intrinsics = jnp.asarray(np.tile(
+        np.array([[128.0, 128.0, 128.0, 128.0]], dtype=np.float32),
+        (batch, 2, 1)))
+
+    # Chain `iters` forwards inside ONE device program: the tunneled TPU
+    # adds large per-call RTT and its block_until_ready does not actually
+    # block, so honest timing = one jit call with an on-device loop + one
+    # host transfer at the end.  The carry feeds back into the input with a
+    # denormal-scale coupling so XLA cannot dead-code-eliminate iterations.
+    @jax.jit
+    def fwd_loop(params, bn_state, images, intrinsics):
+        def body(_, carry):
+            poses, _ = vitess_forward(params, bn_state, cfg,
+                                      images + 1e-30 * carry[0, 0, 0],
+                                      intrinsics, training=False)
+            return poses
+        init = jnp.zeros((batch, 2, 7), jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, init)
+
+    np.asarray(fwd_loop(params, bn_state, images, intrinsics))  # compile
+
+    t0 = time.perf_counter()
+    out = np.asarray(fwd_loop(params, bn_state, images, intrinsics))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+
+    pairs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "eval_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / 5000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

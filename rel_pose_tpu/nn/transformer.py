@@ -33,7 +33,15 @@ def vit_block_init(key, dim, num_heads, mlp_ratio=4.0, qkv_bias=True,
 
 
 def multi_head_self_attention(params, x, num_heads):
-    """x: (B, N, C) -> (B, N, C).  Softmax in fp32 for bf16 inputs."""
+    """x: (B, N, C) -> (B, N, C).
+
+    Attention itself runs through ``ops.pallas_attention.fused_mhsa`` — a
+    single-tile Pallas kernel on TPU (no HBM materialization of the (N, N)
+    scores), einsum fallback elsewhere.  Softmax statistics are fp32 either
+    way.
+    """
+    from ..ops.pallas_attention import fused_mhsa
+
     B, N, C = x.shape
     head_dim = C // num_heads
     scale = head_dim ** -0.5
@@ -44,9 +52,9 @@ def multi_head_self_attention(params, x, num_heads):
     k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
     v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
 
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-    y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    g = (B * num_heads, N, head_dim)
+    y = fused_mhsa(q.reshape(g), k.reshape(g), v.reshape(g), scale)
+    y = y.reshape(B, num_heads, N, head_dim)
     y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, N, C)
     return linear_apply(params["proj"], y)
 

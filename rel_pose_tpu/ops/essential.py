@@ -80,35 +80,35 @@ def essential_cross_attention(params, x1, x2, positional, num_heads,
     q1, k1, v1 = _split_heads(linear_apply(params["qkv"], x1), num_heads)
     q2, k2, v2 = _split_heads(linear_apply(params["qkv"], x2), num_heads)
 
-    attn_1 = jnp.einsum("bhnd,bhmd->bhnm", q2, k1) * scale
-    attn_2 = jnp.einsum("bhnd,bhmd->bhnm", q1, k2) * scale
-
-    if use_single_softmax:
-        af_1 = jax.nn.softmax(attn_1.astype(jnp.float32), axis=-1)
-        af_2 = jax.nn.softmax(attn_2.astype(jnp.float32), axis=-1)
-    else:
-        af_1 = dual_softmax(attn_1)
-        af_2 = dual_softmax(attn_2)
-    af_1 = af_1.astype(x1.dtype)
-    af_2 = af_2.astype(x1.dtype)
-
     if positional is not None:
         pos = jnp.broadcast_to(positional[:, None].astype(v1.dtype),
                                (B, num_heads, N, 6))
         v1 = jnp.concatenate([v1, pos], axis=-1)   # (B, h, N, d+6)
         v2 = jnp.concatenate([v2, pos], axis=-1)
 
+    # Both directions (F1 from attn(q2, k1), F2 from attn(q1, k2)) are
+    # stacked into one fused-kernel launch: G = 2 * B * h grid instances of
+    # the dual-softmax + v^T A v bilinear contraction (Pallas on TPU).
+    from .pallas_essential import fused_bilinear_attention
+
+    d = C // num_heads
+    e = v1.shape[-1]
+    g_qk = (2 * B * num_heads, N, d)
+    g_v = (2 * B * num_heads, N, e)
+    q_all = jnp.concatenate([q2, q1], axis=0).reshape(g_qk)
+    k_all = jnp.concatenate([k1, k2], axis=0).reshape(g_qk)
+    vb_all = jnp.concatenate([v1, v2], axis=0).reshape(g_v)
     if cross_features:
         # F1 = v2^T A1 v1 ; F2 = v1^T A2 v2   (:218-220)
-        fund_1 = jnp.einsum("bhne,bhnm,bhmf->bhef", v2, af_1, v1)
-        fund_2 = jnp.einsum("bhne,bhnm,bhmf->bhef", v1, af_2, v2)
+        va_all = jnp.concatenate([v2, v1], axis=0).reshape(g_v)
     else:
         # F1 = v1^T A1 v1 ; F2 = v2^T A2 v2   (:222-223)
-        fund_1 = jnp.einsum("bhne,bhnm,bhmf->bhef", v1, af_1, v1)
-        fund_2 = jnp.einsum("bhne,bhnm,bhmf->bhef", v2, af_2, v2)
+        va_all = vb_all
 
-    # (B, h, e, e) -> (B, h*e, e) -> transpose -> (B, e, h*e) -> proj -> C
-    e = fund_1.shape[-1]
+    f_all = fused_bilinear_attention(q_all, k_all, va_all, vb_all, scale,
+                                     single_softmax=use_single_softmax)
+    f_all = f_all.reshape(2, B, num_heads, e, e).astype(x1.dtype)
+    fund_1, fund_2 = f_all[0], f_all[1]
     fund_1 = jnp.swapaxes(fund_1.reshape(B, num_heads * e, e), -2, -1)
     fund_2 = jnp.swapaxes(fund_2.reshape(B, num_heads * e, e), -2, -1)
 
@@ -127,18 +127,21 @@ def noess_cross_attention(params, x1, x2, num_heads):
     d = C // num_heads
     scale = d ** -0.5
 
+    from .pallas_attention import fused_mhsa
+
     q1, k1, v1 = _split_heads(linear_apply(params["qkv"], x1), num_heads)
     q2, k2, v2 = _split_heads(linear_apply(params["qkv"], x2), num_heads)
 
-    attn_1 = jnp.einsum("bhnd,bhmd->bhnm", q2, k1) * scale
-    attn_1 = jax.nn.softmax(attn_1.astype(jnp.float32), axis=-1).astype(x1.dtype)
-    y1 = jnp.einsum("bhnm,bhmd->bhnd", attn_1, v1)
-    y1 = jnp.transpose(y1, (0, 2, 1, 3)).reshape(B, N, C)
-
-    attn_2 = jnp.einsum("bhnd,bhmd->bhnm", q1, k2) * scale
-    attn_2 = jax.nn.softmax(attn_2.astype(jnp.float32), axis=-1).astype(x1.dtype)
-    y2 = jnp.einsum("bhnm,bhmd->bhnd", attn_2, v2)
-    y2 = jnp.transpose(y2, (0, 2, 1, 3)).reshape(B, N, C)
+    # one fused launch for both directions: y1 = attn(q2, k1) v1,
+    # y2 = attn(q1, k2) v2
+    g = (2 * B * num_heads, N, d)
+    q_all = jnp.concatenate([q2, q1], axis=0).reshape(g)
+    k_all = jnp.concatenate([k1, k2], axis=0).reshape(g)
+    v_all = jnp.concatenate([v1, v2], axis=0).reshape(g)
+    y = fused_mhsa(q_all, k_all, v_all, scale)
+    y = y.reshape(2, B, num_heads, N, d)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(2, B, N, C)
+    y1, y2 = y[0], y[1]
 
     y1 = linear_apply(params["proj"], y1)
     y2 = linear_apply(params["proj"], y2)
