@@ -34,7 +34,10 @@ def _adjust_brightness(rgb, factor):
 
 
 def _adjust_contrast(rgb, factor):
-    mean = _rgb_to_gray(rgb).mean(axis=(-1, -2), keepdims=True)
+    # joint mean over the whole stack: the reference concatenates the pair
+    # side-by-side before jittering (augmentation.py:22), so torchvision's
+    # contrast blends against the mean of BOTH images.
+    mean = _rgb_to_gray(rgb).mean()
     return _blend(rgb, mean, factor)
 
 
@@ -90,34 +93,54 @@ class RGBDAugmentor:
         self.hue = hue
         self.p_gray = p_gray
 
+    def _draw_ops(self):
+        """Sample the jitter chain: (op_code, factor) pairs in random order
+        + optional trailing grayscale.  Op codes match ``native`` OP_*."""
+        draws = []
+        if self.brightness > 0:
+            draws.append((0, self.rng.uniform(max(0.0, 1 - self.brightness),
+                                              1 + self.brightness)))
+        if self.contrast > 0:
+            draws.append((1, self.rng.uniform(max(0.0, 1 - self.contrast),
+                                              1 + self.contrast)))
+        if self.saturation > 0:
+            draws.append((2, self.rng.uniform(max(0.0, 1 - self.saturation),
+                                              1 + self.saturation)))
+        if self.hue > 0:
+            draws.append((3, self.rng.uniform(-self.hue, self.hue)))
+        draws = [draws[i] for i in self.rng.permutation(len(draws))]
+        if self.rng.uniform() < self.p_gray:
+            draws.append((4, 0.0))
+        return draws
+
     def color_transform(self, images):
         """images: (2, 3, H, W) BGR 0-255 -> jittered, same layout.
         Both images receive the SAME jitter draw (reference concatenates the
-        pair before jittering, ``augmentation.py:19-24``)."""
-        rgb = images[:, ::-1] / 255.0  # BGR->RGB, [0, 1]
+        pair before jittering, ``augmentation.py:19-24``).
 
-        ops = []
-        if self.brightness > 0:
-            f = self.rng.uniform(max(0.0, 1 - self.brightness),
-                                 1 + self.brightness)
-            ops.append(lambda x, f=f: _adjust_brightness(x, f))
-        if self.contrast > 0:
-            f = self.rng.uniform(max(0.0, 1 - self.contrast),
-                                 1 + self.contrast)
-            ops.append(lambda x, f=f: _adjust_contrast(x, f))
-        if self.saturation > 0:
-            f = self.rng.uniform(max(0.0, 1 - self.saturation),
-                                 1 + self.saturation)
-            ops.append(lambda x, f=f: _adjust_saturation(x, f))
-        if self.hue > 0:
-            f = self.rng.uniform(-self.hue, self.hue)
-            ops.append(lambda x, f=f: _adjust_hue(x, f))
-        for idx in self.rng.permutation(len(ops)):
-            rgb = np.clip(ops[idx](rgb), 0.0, 1.0)
+        Uses the multithreaded C++ pipeline (``rel_pose_tpu.native``) when
+        available; numpy otherwise (same math, verified in tests).
+        """
+        draws = self._draw_ops()
+        if not draws:
+            return images.astype(np.float32)
 
-        if self.rng.uniform() < self.p_gray:
-            rgb = np.broadcast_to(_rgb_to_gray(rgb), rgb.shape).copy()
+        from .. import native
+        if native.available():
+            buf = np.ascontiguousarray(images, dtype=np.float32)
+            out = native.color_jitter(buf, [d[0] for d in draws],
+                                      [d[1] for d in draws])
+            if out is not None:
+                return out
 
+        rgb = images[:, ::-1] / 255.0
+        fns = {0: _adjust_brightness, 1: _adjust_contrast,
+               2: _adjust_saturation, 3: _adjust_hue}
+        for code, f in draws:
+            if code == 4:
+                rgb = np.broadcast_to(_rgb_to_gray(rgb), rgb.shape).copy()
+            else:
+                rgb = np.clip(fns[code](rgb, f), 0.0, 1.0)
         return (rgb[:, ::-1] * 255.0).astype(np.float32)  # back to BGR
 
     def resize(self, images, intrinsics):

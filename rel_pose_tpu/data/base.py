@@ -72,8 +72,15 @@ class RGBDDataset:
         intrinsics = np.stack(
             self.scene_info["intrinsics"][index]).astype(np.float32)
         images = np.stack([image_read(p) for p in images_list])
-        images = images.astype(np.float32).transpose(0, 3, 1, 2)  # (2,3,H,W)
-        images, poses, intrinsics = self.aug(images, poses, intrinsics)
+        from .. import native
+        if native.available():
+            # fused uint8 HWC -> float32 CHW in C++ (GIL-free, threaded)
+            chw = native.pair_to_chw_resize(images, images.shape[1:3])
+        else:
+            chw = None
+        if chw is None:
+            chw = images.astype(np.float32).transpose(0, 3, 1, 2)
+        images, poses, intrinsics = self.aug(chw, poses, intrinsics)
         return images, poses, intrinsics
 
     def __getitem__(self, index):

@@ -30,7 +30,7 @@ from ..nn.init import xavier_uniform
 from ..nn.layers import (
     linear_init, linear_apply, layernorm_init, layernorm_apply,
     conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply,
-    mlp_init, mlp_apply,
+    conv_bn_apply, mlp_init, mlp_apply,
 )
 from ..nn.resnet import resnet18_trunk_init, resnet18_trunk_apply
 from ..nn.extractor import residual_block_init, residual_block_apply
@@ -127,16 +127,19 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
     Returns (tokens (2B, N, C'), scaled intrinsics, new_state).
     """
     B = images.shape[0]
-    x = preprocess_images(images)
     if intrinsics is not None:
         intrinsics = scale_intrinsics(intrinsics, images.shape,
                                       cfg.feature_resolution)
 
-    x = x.reshape((B * 2,) + x.shape[2:])
+    # Nearest resize is a pure gather, so it commutes EXACTLY with the
+    # elementwise normalization — resize first (fewer pixels to normalize;
+    # the reference normalizes then resizes, same result).  In bf16 mode the
+    # cast happens before normalization to halve the elementwise traffic.
+    x = images.reshape((B * 2,) + images.shape[2:])
     x = nearest_resize(x, 224)
-
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else x.dtype
-    x = x.astype(dtype)
+    if cfg.compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+    x = preprocess_images(x)
 
     new_state = {}
     x, new_state["resnet"] = resnet18_trunk_apply(
@@ -197,13 +200,11 @@ def _conv_pool_head(params, state, x, training):
     """1x1-conv pooling heads (pool_transformer_output / pool_attn,
     ``src/model.py:64-81``): conv -> BN -> ReLU -> conv -> BN."""
     new_state = {}
-    y = conv2d_apply(params["conv1"], x)
-    y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"], y,
-                                          training)
+    y, new_state["bn1"] = conv_bn_apply(params["conv1"], params["bn1"],
+                                        state["bn1"], x, training)
     y = jax.nn.relu(y)
-    y = conv2d_apply(params["conv2"], y)
-    y, new_state["bn2"] = batchnorm_apply(params["bn2"], state["bn2"], y,
-                                          training)
+    y, new_state["bn2"] = conv_bn_apply(params["conv2"], params["bn2"],
+                                        state["bn2"], y, training)
     return y, new_state
 
 

@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host-pipeline library.
+
+Auto-builds ``librelpose_host.so`` with make on first import if missing
+(g++ only, no external deps); every entry point degrades gracefully to the
+numpy implementation when the library is unavailable
+(``RELPOSE_NO_NATIVE=1`` forces the fallback).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "librelpose_host.so")
+_lib = None
+
+
+def _build():
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("RELPOSE_NO_NATIVE"):
+        _lib = False
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_DIR, "host_pipeline.cpp")
+        if not (os.path.exists(src) and _build()):
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.rp_pair_to_chw_resize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.rp_color_jitter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = False
+    return _lib
+
+
+def available():
+    return bool(_load())
+
+
+def pair_to_chw_resize(images_u8, out_hw, nthreads=0):
+    """(n, H, W, 3) uint8 BGR -> (n, 3, OH, OW) float32, fused nearest
+    resize (torch semantics) + transpose.  Returns None if native lib is
+    unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
+    n, h, w, c = images_u8.shape
+    assert c == 3
+    oh, ow = out_hw
+    out = np.empty((n, 3, oh, ow), dtype=np.float32)
+    lib.rp_pair_to_chw_resize(
+        images_u8.ctypes.data, n, h, w, out.ctypes.data, oh, ow, nthreads)
+    return out
+
+
+OP_BRIGHTNESS, OP_CONTRAST, OP_SATURATION, OP_HUE, OP_GRAY = 0, 1, 2, 3, 4
+
+
+def color_jitter(images_f32, ops, vals, nthreads=0):
+    """In-place jitter on (n, 3, H, W) float32 BGR 0-255.  ``ops`` is a list
+    of OP_* codes, ``vals`` the matching factors.  Returns the array, or
+    None if native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    assert images_f32.dtype == np.float32 and images_f32.flags.c_contiguous
+    n, c, h, w = images_f32.shape
+    ops_arr = np.asarray(ops, dtype=np.int32)
+    vals_arr = np.asarray(vals, dtype=np.float32)
+    lib.rp_color_jitter(images_f32.ctypes.data, n, h, w,
+                        ops_arr.ctypes.data, vals_arr.ctypes.data,
+                        len(ops_arr), nthreads)
+    return images_f32

@@ -20,7 +20,8 @@ other norms are out of scope of the reference's runtime graph.
 import jax
 import jax.numpy as jnp
 
-from .layers import conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply
+from .layers import (conv2d_init, conv2d_apply, batchnorm_init,
+                     batchnorm_apply, conv_bn_apply)
 
 
 def residual_block_init(key, in_ch, out_ch, kernel_size, dtype=jnp.float32):
@@ -40,16 +41,16 @@ def residual_block_init(key, in_ch, out_ch, kernel_size, dtype=jnp.float32):
 def residual_block_apply(params, state, x, training=False):
     """(N, in, H, W) -> (N, out, H-k+1, W-k+1).  Returns (y, new_state)."""
     new_state = {}
-    y = conv2d_apply(params["conv1"], x, stride=1, padding=1)
-    y, new_state["norm1"] = batchnorm_apply(params["norm1"], state["norm1"],
-                                            y, training)
+    y, new_state["norm1"] = conv_bn_apply(params["conv1"], params["norm1"],
+                                          state["norm1"], x, training,
+                                          stride=1, padding=1)
     y = jax.nn.relu(y)
-    y = conv2d_apply(params["conv2"], y, stride=1, padding=0)
-    y, new_state["norm2"] = batchnorm_apply(params["norm2"], state["norm2"],
-                                            y, training)
+    y, new_state["norm2"] = conv_bn_apply(params["conv2"], params["norm2"],
+                                          state["norm2"], y, training,
+                                          stride=1, padding=0)
     y = jax.nn.relu(y)
 
-    x = conv2d_apply(params["downsample_conv"], x, stride=1, padding=0)
-    x, new_state["norm3"] = batchnorm_apply(params["norm3"], state["norm3"],
-                                            x, training)
+    x, new_state["norm3"] = conv_bn_apply(params["downsample_conv"],
+                                          params["norm3"], state["norm3"],
+                                          x, training, stride=1, padding=0)
     return jax.nn.relu(x + y), new_state

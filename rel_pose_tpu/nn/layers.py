@@ -138,6 +138,31 @@ def conv2d_apply(params, x, stride=1, padding=0):
     return y
 
 
+def conv_bn_apply(conv_params, bn_params, bn_state, x, training,
+                  stride=1, padding=0, momentum=0.1, eps=1e-5):
+    """conv -> BatchNorm, with the BN FOLDED INTO THE CONV in eval mode.
+
+    Eval-mode BN is a per-channel affine; folding it into the conv weights
+    (w' = w * g, b' = beta + (b - mean) * g, g = scale/sqrt(var+eps))
+    removes a full elementwise fp32 pass over the activation — on the ResNet
+    trunk's early layers that is GBs of HBM traffic per batch.  Training
+    mode keeps the explicit BN (batch statistics + running-stat updates).
+
+    Returns (y, new_bn_state).
+    """
+    if training:
+        y = conv2d_apply(conv_params, x, stride=stride, padding=padding)
+        return batchnorm_apply(bn_params, bn_state, y, training,
+                               momentum=momentum, eps=eps)
+    g = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + eps)
+    w = conv_params["w"] * g[:, None, None, None]
+    b = bn_params["bias"] - bn_state["mean"] * g
+    if "b" in conv_params:
+        b = b + conv_params["b"] * g
+    y = conv2d_apply({"w": w, "b": b}, x, stride=stride, padding=padding)
+    return y, bn_state
+
+
 # ------------------------------------------------------------------ pool ----
 
 def max_pool_2d(x, window=3, stride=2, padding=1):
@@ -157,7 +182,15 @@ def max_pool_2d(x, window=3, stride=2, padding=1):
 # ------------------------------------------------------------------- mlp ----
 
 def gelu(x):
-    """Exact (erf) GELU — torch.nn.GELU default, used by timm's Mlp."""
+    """GELU matching torch.nn.GELU.
+
+    fp32: exact erf form (torch default — bitwise parity for converted
+    checkpoints).  bf16: tanh approximation — the erf polynomial costs ~8x
+    more VPU time, and its difference from tanh-GELU (<1e-3 absolute) is
+    below bf16 resolution, so the fast form is numerically free in the
+    explicit speed mode."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from .layers import (
-    conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply, max_pool_2d,
+    conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply,
+    conv_bn_apply, max_pool_2d,
 )
 
 
@@ -40,17 +41,17 @@ def _basic_block_init(key, in_ch, out_ch, stride, dtype=jnp.float32):
 
 def _basic_block_apply(params, state, x, stride, training):
     new_state = {}
-    y = conv2d_apply(params["conv1"], x, stride=stride, padding=1)
-    y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"], y,
-                                          training)
+    y, new_state["bn1"] = conv_bn_apply(params["conv1"], params["bn1"],
+                                        state["bn1"], x, training,
+                                        stride=stride, padding=1)
     y = jax.nn.relu(y)
-    y = conv2d_apply(params["conv2"], y, stride=1, padding=1)
-    y, new_state["bn2"] = batchnorm_apply(params["bn2"], state["bn2"], y,
-                                          training)
+    y, new_state["bn2"] = conv_bn_apply(params["conv2"], params["bn2"],
+                                        state["bn2"], y, training,
+                                        stride=1, padding=1)
     if "downsample_conv" in params:
-        x = conv2d_apply(params["downsample_conv"], x, stride=stride)
-        x, new_state["downsample_bn"] = batchnorm_apply(
-            params["downsample_bn"], state["downsample_bn"], x, training)
+        x, new_state["downsample_bn"] = conv_bn_apply(
+            params["downsample_conv"], params["downsample_bn"],
+            state["downsample_bn"], x, training, stride=stride)
     return jax.nn.relu(x + y), new_state
 
 
@@ -73,9 +74,9 @@ def resnet18_trunk_init(key, dtype=jnp.float32):
 def resnet18_trunk_apply(params, state, x, training=False):
     """(N, 3, 224, 224) -> (N, 128, 28, 28).  Returns (y, new_state)."""
     new_state = {}
-    y = conv2d_apply(params["conv1"], x, stride=2, padding=3)
-    y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"], y,
-                                          training)
+    y, new_state["bn1"] = conv_bn_apply(params["conv1"], params["bn1"],
+                                        state["bn1"], x, training,
+                                        stride=2, padding=3)
     y = jax.nn.relu(y)
     y = max_pool_2d(y, window=3, stride=2, padding=1)
     y, new_state["layer1_0"] = _basic_block_apply(

@@ -51,19 +51,23 @@ def mhsa_reference(q, k, v, scale):
 
 # -------------------------------------------------------------- kernels ----
 
+_LOG2E = 1.4426950408889634
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    # fold the softmax scale into the exp2 argument: exp(x) = exp2(x*log2e)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
     m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)                       # unnormalized weights
     l = jnp.sum(e, axis=1, keepdims=True)
-    p = (e / l).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype)
+    # normalize AFTER the matmul: N x d divisions instead of N x N
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
@@ -72,25 +76,26 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    # recompute normalized softmax weights
+    # recompute softmax weights (unnormalized e + row sums l)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
     m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)
     l = jnp.sum(e, axis=1, keepdims=True)
-    p = e / l                                           # (N, N) fp32
-    pb = p.astype(v.dtype)
-    # dv = p^T do
+    eb = e.astype(v.dtype)
+    # dv = p^T do = e^T (do / l)   — fold the row normalization into do
+    do_n = (do.astype(jnp.float32) / l).astype(do.dtype)
     dv_ref[0] = jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())),
+        eb, do_n, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dp = do v^T ; ds = p * (dp - rowsum(dp * p))
+    # dp = do v^T ; ds = p * (dp - rowsum(dp * p)),  p = e / l
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-    dsb = (ds * scale).astype(q.dtype)
+    c = jnp.sum(dp * e, axis=1, keepdims=True) / l      # rowsum(dp * p)
+    ds = e * ((dp - c) * (scale / l))                   # scale folded in
+    dsb = ds.astype(q.dtype)
     dq_ref[0] = jnp.dot(dsb, k, preferred_element_type=jnp.float32).astype(
         dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(

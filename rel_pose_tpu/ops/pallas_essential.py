@@ -57,14 +57,18 @@ def bilinear_attention_reference(q, k, va, vb, scale, single_softmax=False):
 
 # -------------------------------------------------------------- kernels ----
 
-def _softmaxes(s, single_softmax):
-    mr = jnp.max(s, axis=1, keepdims=True)
-    er = jnp.exp(s - mr)
+_LOG2E = 1.4426950408889634
+
+
+def _softmaxes(s2, single_softmax):
+    """s2 = scores pre-multiplied by log2(e); returns (R, C, A) normalized."""
+    mr = jnp.max(s2, axis=1, keepdims=True)
+    er = jnp.exp2(s2 - mr)
     R = er / jnp.sum(er, axis=1, keepdims=True)
     if single_softmax:
         return R, None, R
-    mc = jnp.max(s, axis=0, keepdims=True)
-    ec = jnp.exp(s - mc)
+    mc = jnp.max(s2, axis=0, keepdims=True)
+    ec = jnp.exp2(s2 - mc)
     C = ec / jnp.sum(ec, axis=0, keepdims=True)
     return R, C, R * C
 
@@ -75,10 +79,23 @@ def _fwd_kernel(q_ref, k_ref, va_ref, vb_ref, f_ref, *, scale,
     va, vb = va_ref[0], vb_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    _, _, A = _softmaxes(s, single_softmax)
-    Ab = A.astype(vb.dtype)
-    av = jnp.dot(Ab, vb, preferred_element_type=jnp.float32).astype(va.dtype)
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    # unnormalized weights; normalizations folded into the cheap (N, e)
+    # sides of the two matmuls instead of two (N, N) division passes.
+    mr = jnp.max(s, axis=1, keepdims=True)
+    er = jnp.exp2(s - mr)
+    lr = jnp.sum(er, axis=1, keepdims=True)            # (N, 1)
+    if single_softmax:
+        P = er.astype(vb.dtype)
+        vb_n = vb
+    else:
+        mc = jnp.max(s, axis=0, keepdims=True)
+        ec = jnp.exp2(s - mc)
+        lc = jnp.sum(ec, axis=0, keepdims=True)        # (1, N)
+        P = (er * ec).astype(vb.dtype)
+        vb_n = (vb.astype(jnp.float32) / lc.reshape(-1, 1)).astype(vb.dtype)
+    av = jnp.dot(P, vb_n, preferred_element_type=jnp.float32)
+    av = (av / lr).astype(va.dtype)
     f_ref[0] = jax.lax.dot_general(
         va, av, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(f_ref.dtype)
@@ -92,7 +109,7 @@ def _bwd_kernel(q_ref, k_ref, va_ref, vb_ref, df_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32) * (scale * _LOG2E)
     R, C, A = _softmaxes(s, single_softmax)
     Ab = A.astype(va.dtype)
 

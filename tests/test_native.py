@@ -1,0 +1,80 @@
+"""Native C++ host-pipeline tests: build, parity with numpy, throughput."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from rel_pose_tpu import native
+from rel_pose_tpu.data.augmentation import (
+    RGBDAugmentor, _adjust_brightness, _adjust_contrast, _adjust_saturation,
+    _adjust_hue, _rgb_to_gray,
+)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")
+
+RNG = np.random.default_rng(0)
+
+
+class TestResize:
+    def test_transpose_identity(self):
+        imgs = RNG.integers(0, 255, (2, 60, 80, 3), dtype=np.uint8)
+        out = native.pair_to_chw_resize(imgs, (60, 80))
+        ref = imgs.transpose(0, 3, 1, 2).astype(np.float32)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_torch_nearest_semantics(self):
+        imgs = RNG.integers(0, 255, (2, 480, 640, 3), dtype=np.uint8)
+        out = native.pair_to_chw_resize(imgs, (384, 512))
+        rows = (np.arange(384) * 480) // 384
+        cols = (np.arange(512) * 640) // 512
+        ref = imgs[:, rows][:, :, cols].transpose(0, 3, 1, 2).astype(np.float32)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_upscale(self):
+        imgs = RNG.integers(0, 255, (1, 100, 100, 3), dtype=np.uint8)
+        out = native.pair_to_chw_resize(imgs, (256, 256))
+        rows = (np.arange(256) * 100) // 256
+        ref = imgs[:, rows][:, :, rows].transpose(0, 3, 1, 2).astype(np.float32)
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestJitterParity:
+    def _numpy_chain(self, chw, draws):
+        rgb = chw[:, ::-1] / 255.0
+        fns = {0: _adjust_brightness, 1: _adjust_contrast,
+               2: _adjust_saturation, 3: _adjust_hue}
+        for code, f in draws:
+            if code == 4:
+                rgb = np.broadcast_to(_rgb_to_gray(rgb), rgb.shape).copy()
+            else:
+                rgb = np.clip(fns[code](rgb, f), 0.0, 1.0)
+        return (rgb[:, ::-1] * 255.0).astype(np.float32)
+
+    def test_each_op(self):
+        chw = RNG.uniform(0, 255, (2, 3, 64, 64)).astype(np.float32)
+        for draws in ([(0, 1.2)], [(1, 0.8)], [(2, 1.15)], [(3, 0.07)],
+                      [(3, -0.1)], [(4, 0.0)]):
+            nat = native.color_jitter(chw.copy(), [d[0] for d in draws],
+                                      [d[1] for d in draws])
+            ref = self._numpy_chain(chw, draws)
+            np.testing.assert_allclose(nat, ref, atol=0.05,
+                                       err_msg=str(draws))
+
+    def test_full_chain(self):
+        chw = RNG.uniform(0, 255, (2, 3, 120, 160)).astype(np.float32)
+        draws = [(2, 1.1), (0, 0.85), (3, 0.05), (1, 1.2), (4, 0.0)]
+        nat = native.color_jitter(chw.copy(),
+                                  [d[0] for d in draws],
+                                  [d[1] for d in draws])
+        ref = self._numpy_chain(chw, draws)
+        np.testing.assert_allclose(nat, ref, atol=0.1)
+
+    def test_augmentor_uses_native(self):
+        aug = RGBDAugmentor((100, 120), rng=np.random.default_rng(5))
+        images = RNG.uniform(0, 255, (2, 3, 120, 160)).astype(np.float32)
+        out, _, intr = aug(images, None, np.array([[100., 100, 60, 80]] * 2))
+        assert out.shape == (2, 3, 100, 120)
+        assert out.min() >= 0 and out.max() <= 255
