@@ -245,9 +245,9 @@ def vitess_forward(params, state, cfg: ModelConfig, images, intrinsics=None,
     new_state.update(st)
 
     if cfg.fusion_transformer:
+        from ..ops.pallas_vit import fused_vit_stack
         x = feats + params["pos_embed"].astype(feats.dtype)
-        for blk in params["blocks"]:
-            x = vit_block_apply(blk, x, cfg.num_heads)
+        x = fused_vit_stack(x, params["blocks"], cfg.num_heads)
         x = _cross_block(params["cross_block"], cfg, x, intr)
         features = layernorm_apply(params["norm"], x)
     else:

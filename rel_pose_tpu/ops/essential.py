@@ -74,41 +74,20 @@ def essential_cross_attention(params, x1, x2, positional, num_heads,
       reference's flipped return (``:236-238``).
     """
     B, N, C = x1.shape
-    d = C // num_heads
-    scale = d ** -0.5
 
-    q1, k1, v1 = _split_heads(linear_apply(params["qkv"], x1), num_heads)
-    q2, k2, v2 = _split_heads(linear_apply(params["qkv"], x2), num_heads)
+    # Both directions x all heads computed by ONE fused kernel straight from
+    # the raw qkv projections — head slicing happens in VMEM, so the HBM
+    # relayouts (head transposes + direction concats) disappear entirely.
+    from .pallas_essential_block import fused_essential_block
 
-    if positional is not None:
-        pos = jnp.broadcast_to(positional[:, None].astype(v1.dtype),
-                               (B, num_heads, N, 6))
-        v1 = jnp.concatenate([v1, pos], axis=-1)   # (B, h, N, d+6)
-        v2 = jnp.concatenate([v2, pos], axis=-1)
-
-    # Both directions (F1 from attn(q2, k1), F2 from attn(q1, k2)) are
-    # stacked into one fused-kernel launch: G = 2 * B * h grid instances of
-    # the dual-softmax + v^T A v bilinear contraction (Pallas on TPU).
-    from .pallas_essential import fused_bilinear_attention
-
-    d = C // num_heads
-    e = v1.shape[-1]
-    g_qk = (2 * B * num_heads, N, d)
-    g_v = (2 * B * num_heads, N, e)
-    q_all = jnp.concatenate([q2, q1], axis=0).reshape(g_qk)
-    k_all = jnp.concatenate([k1, k2], axis=0).reshape(g_qk)
-    vb_all = jnp.concatenate([v1, v2], axis=0).reshape(g_v)
-    if cross_features:
-        # F1 = v2^T A1 v1 ; F2 = v1^T A2 v2   (:218-220)
-        va_all = jnp.concatenate([v2, v1], axis=0).reshape(g_v)
-    else:
-        # F1 = v1^T A1 v1 ; F2 = v2^T A2 v2   (:222-223)
-        va_all = vb_all
-
-    f_all = fused_bilinear_attention(q_all, k_all, va_all, vb_all, scale,
-                                     single_softmax=use_single_softmax)
-    f_all = f_all.reshape(2, B, num_heads, e, e).astype(x1.dtype)
-    fund_1, fund_2 = f_all[0], f_all[1]
+    qkv1 = linear_apply(params["qkv"], x1)   # (B, N, 3C)
+    qkv2 = linear_apply(params["qkv"], x2)
+    f = fused_essential_block(qkv1, qkv2, positional, num_heads,
+                              cross_features=cross_features,
+                              use_single_softmax=use_single_softmax)
+    f = f.astype(x1.dtype)                   # (B, 2, h, e, e)
+    e = f.shape[-1]
+    fund_1, fund_2 = f[:, 0], f[:, 1]
     fund_1 = jnp.swapaxes(fund_1.reshape(B, num_heads * e, e), -2, -1)
     fund_2 = jnp.swapaxes(fund_2.reshape(B, num_heads * e, e), -2, -1)
 

@@ -1,0 +1,213 @@
+"""Fused Essential-Matrix block kernel: qkv tensors in, moment matrices out.
+
+Extends ``pallas_essential`` one level up: instead of receiving pre-split
+per-head q/k/v (which costs several HBM relayouts — head transposes +
+direction concats on ~100 MB tensors at eval batch), this kernel takes the
+RAW qkv projections of both images, ``(B, N, 3C)``, plus the positional
+table, and computes all ``2 directions x num_heads`` dual-softmax bilinear
+contractions per batch element inside one grid instance:
+
+  for dir in (1, 2):  for h in heads:
+      q = qkv_other[:, h] ; k = qkv_self[:, h] ; v* = qkv[:, 2C + h] ++ pos
+      s = q k^T / sqrt(d);  A = softmax_row(s) * softmax_col(s)
+      F[dir, h] = va^T A vb
+
+Head slicing is static column slicing in VMEM — zero HBM traffic beyond one
+read of each qkv tensor and one (2, h, e, e) write.
+
+Backward = jax.vjp of the einsum reference (same math; Pallas backward for
+the per-head op exists in ``pallas_essential`` and this path's training cost
+is dominated by the conv trunk anyway).
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2E = 1.4426950408889634
+
+
+def _use_pallas():
+    if os.environ.get("RELPOSE_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# ------------------------------------------------------------ reference ----
+
+def essential_block_reference(qkv1, qkv2, positional, num_heads,
+                              cross_features=False, use_single_softmax=False,
+                              has_pos=None):
+    """(B, N, 3C) x2 + (B, N, 6)|None -> (B, 2, h, e, e) float32."""
+    if has_pos is False:
+        positional = None
+    B, N, C3 = qkv1.shape
+    C = C3 // 3
+    d = C // num_heads
+    scale = d ** -0.5
+
+    def heads(qkv):
+        q = qkv[:, :, :C].reshape(B, N, num_heads, d)
+        k = qkv[:, :, C:2 * C].reshape(B, N, num_heads, d)
+        v = qkv[:, :, 2 * C:].reshape(B, N, num_heads, d)
+        return (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2))
+
+    q1, k1, v1 = heads(qkv1)
+    q2, k2, v2 = heads(qkv2)
+    if positional is not None:
+        pos = jnp.broadcast_to(positional[:, None].astype(v1.dtype),
+                               (B, num_heads, N, 6))
+        v1 = jnp.concatenate([v1, pos], axis=-1)
+        v2 = jnp.concatenate([v2, pos], axis=-1)
+
+    def attn(q, k):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * scale
+        if use_single_softmax:
+            return jax.nn.softmax(s, axis=-1)
+        return jax.nn.softmax(s, axis=-1) * jax.nn.softmax(s, axis=-2)
+
+    a1 = attn(q2, k1).astype(qkv1.dtype)
+    a2 = attn(q1, k2).astype(qkv1.dtype)
+    if cross_features:
+        f1 = jnp.einsum("bhne,bhnm,bhmf->bhef", v2, a1, v1)
+        f2 = jnp.einsum("bhne,bhnm,bhmf->bhef", v1, a2, v2)
+    else:
+        f1 = jnp.einsum("bhne,bhnm,bhmf->bhef", v1, a1, v1)
+        f2 = jnp.einsum("bhne,bhnm,bhmf->bhef", v2, a2, v2)
+    return jnp.stack([f1, f2], axis=1).astype(jnp.float32)
+
+
+# -------------------------------------------------------------- kernel ----
+
+def _essential_block_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *,
+                            num_heads, head_dim, has_pos, cross_features,
+                            use_single_softmax):
+    qkv1 = qkv1_ref[0]
+    qkv2 = qkv2_ref[0]
+    C = num_heads * head_dim
+    scale = (head_dim ** -0.5) * _LOG2E
+    pos = pos_ref[0].astype(qkv1.dtype) if has_pos else None
+
+    for direction in range(2):
+        q_src, k_src = (qkv2, qkv1) if direction == 0 else (qkv1, qkv2)
+        for h in range(num_heads):
+            lo = h * head_dim
+            q = q_src[:, lo:lo + head_dim]
+            k = k_src[:, C + lo:C + lo + head_dim]
+            v_self = k_src[:, 2 * C + lo:2 * C + lo + head_dim]
+            v_other = q_src[:, 2 * C + lo:2 * C + lo + head_dim]
+            if has_pos:
+                v_self = jnp.concatenate([v_self, pos], axis=-1)
+                v_other = jnp.concatenate([v_other, pos], axis=-1)
+            # (va, vb): default both = v of the attended image (k side);
+            # cross_features uses the other image's values on the left.
+            va = v_other if cross_features else v_self
+            vb = v_self
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            mr = jnp.max(s, axis=1, keepdims=True)
+            er = jnp.exp2(s - mr)
+            lr = jnp.sum(er, axis=1, keepdims=True)
+            if use_single_softmax:
+                P = er.astype(vb.dtype)
+                vb_n = vb
+            else:
+                mc = jnp.max(s, axis=0, keepdims=True)
+                ec = jnp.exp2(s - mc)
+                lc = jnp.sum(ec, axis=0, keepdims=True)
+                P = (er * ec).astype(vb.dtype)
+                vb_n = (vb.astype(jnp.float32)
+                        / lc.reshape(-1, 1)).astype(vb.dtype)
+            av = jnp.dot(P, vb_n, preferred_element_type=jnp.float32)
+            av = (av / lr).astype(va.dtype)
+            f_ref[0, direction, h] = jax.lax.dot_general(
+                va, av, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+def _essential_block_call(qkv1, qkv2, positional, num_heads, cross_features,
+                          use_single_softmax, has_pos, interpret=False):
+    B, N, C3 = qkv1.shape
+    C = C3 // 3
+    head_dim = C // num_heads
+    e = head_dim + (6 if has_pos else 0)
+    return pl.pallas_call(
+        functools.partial(
+            _essential_block_kernel, num_heads=num_heads, head_dim=head_dim,
+            has_pos=has_pos, cross_features=cross_features,
+            use_single_softmax=use_single_softmax),
+        out_shape=jax.ShapeDtypeStruct((B, 2, num_heads, e, e), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 6), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, num_heads, e, e),
+                               lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * 2 * num_heads * N * N * (head_dim + 2 * e),
+            transcendentals=B * 4 * num_heads * N * N,
+            bytes_accessed=2 * B * N * C3 * qkv1.dtype.itemsize),
+    )(qkv1, qkv2, positional)
+
+
+# ------------------------------------------------------------ public op ----
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _essential_block_op(qkv1, qkv2, positional, num_heads, cross_features,
+                        use_single_softmax, has_pos):
+    return _essential_block_call(qkv1, qkv2, positional, num_heads,
+                                 cross_features, use_single_softmax, has_pos)
+
+
+def _eb_fwd(qkv1, qkv2, positional, num_heads, cross_features,
+            use_single_softmax, has_pos):
+    out = _essential_block_call(qkv1, qkv2, positional, num_heads,
+                                cross_features, use_single_softmax, has_pos)
+    return out, (qkv1, qkv2, positional)
+
+
+def _eb_bwd(num_heads, cross_features, use_single_softmax, has_pos, res, g):
+    qkv1, qkv2, positional = res
+    _, vjp = jax.vjp(
+        lambda a, b, p: essential_block_reference(
+            a, b, p, num_heads, cross_features, use_single_softmax,
+            has_pos=has_pos),
+        qkv1, qkv2, positional)
+    return vjp(g)
+
+
+_essential_block_op.defvjp(_eb_fwd, _eb_bwd)
+
+
+def fused_essential_block(qkv1, qkv2, positional, num_heads,
+                          cross_features=False, use_single_softmax=False):
+    """(B, N, 3C) qkv pairs (+ optional (B, N, 6) positional) ->
+    (B, 2, h, e, e) fundamental-like moment matrices, fp32."""
+    has_pos = positional is not None
+    if _use_pallas():
+        if positional is None:
+            positional = jnp.zeros(qkv1.shape[:2] + (6,), qkv1.dtype)
+        else:
+            positional = positional.astype(qkv1.dtype)
+        return _essential_block_op(qkv1, qkv2, positional, num_heads,
+                                   cross_features, use_single_softmax,
+                                   has_pos)
+    return essential_block_reference(qkv1, qkv2, positional, num_heads,
+                                     cross_features, use_single_softmax)

@@ -3,8 +3,10 @@ from .convert import (
     export_torch_state_dict,
     load_torch_checkpoint,
 )
+from .profiling import StepTimer, trace
+from .platform import apply_platform_env
 
 __all__ = [
     "convert_torch_state_dict", "export_torch_state_dict",
-    "load_torch_checkpoint",
+    "load_torch_checkpoint", "StepTimer", "trace", "apply_platform_env",
 ]

@@ -1,0 +1,89 @@
+"""Fused essential-block kernel equivalence tests (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rel_pose_tpu.ops.pallas_essential_block import (
+    essential_block_reference, _essential_block_call,
+)
+
+RNG = np.random.default_rng(33)
+B, N, H, D = 2, 64, 3, 32
+C3 = 3 * H * D
+
+
+def _rand(*shape):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32) * 0.5)
+
+
+class TestEssentialBlockKernel:
+    def _check(self, cross=False, single=False, pos=True):
+        qkv1, qkv2 = _rand(B, N, C3), _rand(B, N, C3)
+        positional = _rand(B, N, 6) if pos else None
+        ref = essential_block_reference(qkv1, qkv2, positional, H,
+                                        cross_features=cross,
+                                        use_single_softmax=single)
+        p_arr = positional if pos else jnp.zeros((B, N, 6))
+        out = _essential_block_call(qkv1, qkv2, p_arr, H, cross, single,
+                                    has_pos=pos, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_default(self):
+        self._check()
+
+    def test_cross_features(self):
+        self._check(cross=True)
+
+    def test_single_softmax(self):
+        self._check(single=True)
+
+    def test_no_pos(self):
+        self._check(pos=False)
+
+    def test_matches_per_head_path(self):
+        """The block reference must agree with the older per-head einsum
+        composition used by essential_cross_attention's previous wiring."""
+        from rel_pose_tpu.ops.pallas_essential import (
+            bilinear_attention_reference)
+        qkv1, qkv2 = _rand(B, N, C3), _rand(B, N, C3)
+        positional = _rand(B, N, 6)
+        ref = np.asarray(essential_block_reference(qkv1, qkv2, positional, H))
+        C = H * D
+
+        def heads(qkv):
+            q = np.asarray(qkv[:, :, :C]).reshape(B, N, H, D).transpose(0, 2, 1, 3)
+            k = np.asarray(qkv[:, :, C:2 * C]).reshape(B, N, H, D).transpose(0, 2, 1, 3)
+            v = np.asarray(qkv[:, :, 2 * C:]).reshape(B, N, H, D).transpose(0, 2, 1, 3)
+            return q, k, v
+
+        q1, k1, v1 = heads(qkv1)
+        q2, k2, v2 = heads(qkv2)
+        pos = np.broadcast_to(np.asarray(positional)[:, None], (B, H, N, 6))
+        v1 = np.concatenate([v1, pos], axis=-1)
+        v2 = np.concatenate([v2, pos], axis=-1)
+        scale = D ** -0.5
+        f1 = np.asarray(bilinear_attention_reference(
+            jnp.asarray(q2.reshape(B * H, N, D)),
+            jnp.asarray(k1.reshape(B * H, N, D)),
+            jnp.asarray(v1.reshape(B * H, N, D + 6)),
+            jnp.asarray(v1.reshape(B * H, N, D + 6)), scale))
+        np.testing.assert_allclose(ref[:, 0].reshape(B * H, D + 6, D + 6),
+                                   f1, atol=1e-4)
+
+    def test_backward_grads_finite_and_match(self):
+        qkv1, qkv2 = _rand(B, N, C3), _rand(B, N, C3)
+        positional = _rand(B, N, 6)
+        g = _rand(B, 2, H, D + 6, D + 6)
+
+        from rel_pose_tpu.ops.pallas_essential_block import _eb_bwd
+        dq1, dq2, dp = _eb_bwd(H, False, False, True,
+                               (qkv1, qkv2, positional), g)
+
+        def loss(a, b, p):
+            return jnp.sum(essential_block_reference(a, b, p, H) * g)
+        r1, r2, rp = jax.grad(loss, argnums=(0, 1, 2))(qkv1, qkv2, positional)
+        np.testing.assert_allclose(np.asarray(dq1), np.asarray(r1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dq2), np.asarray(r2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(rp), atol=1e-5)

@@ -121,7 +121,9 @@ def main():
     train_step = make_train_step(cfg, tx, args.w_tr, args.w_rot, mesh=mesh)
     eval_step = make_eval_step(cfg, args.w_tr, args.w_rot, mesh=mesh)
 
+    from rel_pose_tpu.utils.profiling import StepTimer
     logger = Logger(args.name, schedule)
+    timer = StepTimer(pairs_per_step=global_batch, num_chips=mesh.size)
     train_steps = int(jax.device_get(state.step))
     subepoch = 0
     epoch_count = 0
@@ -150,12 +152,17 @@ def main():
             if is_training:
                 state, metrics, poses_est = train_step(state, *batch)
                 train_steps += 1
+                timer.tick()
             else:
                 metrics, poses_est = eval_step(state, *batch)
 
             if jax.process_index() == 0:
-                logger.push({k: float(v) for k, v in metrics.items()
-                             if k != "loss"})
+                host_metrics = {k: float(v) for k, v in metrics.items()
+                                if k != "loss"}
+                if is_training:
+                    host_metrics["pairs_per_sec_per_chip"] = \
+                        timer.pairs_per_sec_per_chip
+                logger.push(host_metrics)
                 if i_batch % 20 == 0:
                     np.set_printoptions(suppress=True, linewidth=150)
                     print("\n estimated pose")
