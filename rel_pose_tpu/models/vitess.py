@@ -20,8 +20,6 @@ fusion transformer (default), ``--noess`` (plain cross-attention + conv
 pooling head), and the no-fusion-transformer conv pooling baseline.
 """
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +32,7 @@ from ..nn.layers import (
 )
 from ..nn.resnet import resnet18_trunk_init, resnet18_trunk_apply
 from ..nn.extractor import residual_block_init, residual_block_apply
-from ..nn.transformer import vit_block_init, vit_block_apply
+from ..nn.transformer import vit_block_init
 from ..ops.image import preprocess_images, nearest_resize, scale_intrinsics
 from ..ops.posenc import quadratic_positional_encoding, l1_positional_encoding
 from ..ops.essential import (

@@ -21,12 +21,26 @@ from ..models.vitess import vitess_forward
 from .state import TrainState
 
 
-def make_loss_fn(cfg, w_tr, w_rot, train_val="train"):
+def make_loss_fn(cfg, w_tr, w_rot, train_val="train", remat=False):
+    if remat:
+        # rematerialize the forward under grad: trades recompute FLOPs for
+        # activation memory, enabling much larger per-chip batches.
+        # cfg/training are closed over (jax.checkpoint statics only cover
+        # positional args in this jax version).
+        def fwd(params, bn_state, images, intrinsics, Gs, training):
+            inner = jax.checkpoint(
+                lambda p, s, im, K, G: vitess_forward(
+                    p, s, cfg, im, K, Gs=G, training=training))
+            return inner(params, bn_state, images, intrinsics, Gs)
+    else:
+        def fwd(params, bn_state, images, intrinsics, Gs, training):
+            return vitess_forward(params, bn_state, cfg, images, intrinsics,
+                                  Gs=Gs, training=training)
+
     def loss_fn(params, bn_state, images, poses_gt, intrinsics, training):
         Gs = jnp.zeros_like(poses_gt).at[..., 6].set(1.0)
-        poses_est, new_bn = vitess_forward(
-            params, bn_state, cfg, images, intrinsics, Gs=Gs,
-            training=training)
+        poses_est, new_bn = fwd(params, bn_state, images, intrinsics, Gs,
+                                training)
         loss_tr, loss_rot, metrics = geodesic_loss(poses_gt, poses_est,
                                                    train_val)
         loss = w_tr * loss_tr + w_rot * loss_rot
@@ -34,14 +48,16 @@ def make_loss_fn(cfg, w_tr, w_rot, train_val="train"):
     return loss_fn
 
 
-def make_train_step(cfg, tx, w_tr=10.0, w_rot=10.0, mesh=None):
+def make_train_step(cfg, tx, w_tr=10.0, w_rot=10.0, mesh=None, remat=False):
     """Returns a jitted ``(state, images, poses, intrinsics) ->
     (state, metrics, poses_est)`` function.
 
     With ``mesh`` provided, inputs are expected batch-sharded over 'data' and
     the state replicated; without it, plain single-device jit.
+    ``remat`` rematerializes the forward in the backward pass (larger
+    per-chip batches at ~1.3x step FLOPs).
     """
-    loss_fn = make_loss_fn(cfg, w_tr, w_rot, "train")
+    loss_fn = make_loss_fn(cfg, w_tr, w_rot, "train", remat=remat)
 
     def step(state: TrainState, images, poses_gt, intrinsics):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

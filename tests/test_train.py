@@ -131,6 +131,24 @@ class TestTrainStep:
         w_b = np.asarray(state2.params["pose_regressor"]["fc3"]["w"])
         np.testing.assert_allclose(w_a, w_b, atol=1e-4)
 
+    def test_remat_step_matches(self):
+        """jax.checkpoint remat must not change the update."""
+        cfg = small_cfg()
+        params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
+        tx, _ = make_optimizer(lr=1e-3, steps=100, warmup=10)
+        images, poses, intr = fake_train_batch(2)
+        args = (jnp.array(images), jnp.array(poses), jnp.array(intr))
+
+        s1 = TrainState.create(params, bn_state, tx)
+        s1, m1, _ = make_train_step(cfg, tx)(s1, *args)
+        s2 = TrainState.create(*vitess_init(jax.random.PRNGKey(0), cfg), tx)
+        s2, m2, _ = make_train_step(cfg, tx, remat=True)(s2, *args)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s1.params["pose_regressor"]["fc3"]["w"]),
+            np.asarray(s2.params["pose_regressor"]["fc3"]["w"]), atol=1e-6)
+
     def test_eval_step(self):
         cfg = small_cfg()
         params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
