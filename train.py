@@ -110,8 +110,18 @@ def main():
             p, s = load_torch_checkpoint(args.ckpt, cfg)
             state = state.replace(params=p, bn_state=s)
         else:
-            tree = load_checkpoint(args.ckpt, jax.tree.map(np.asarray, state))
-            state = jax.tree.map(jnp.asarray, tree)
+            try:
+                tree = load_checkpoint(args.ckpt,
+                                       jax.tree.map(np.asarray, state))
+                state = jax.tree.map(jnp.asarray, tree)
+            except Exception:
+                # weights-only checkpoint (e.g. from convert_checkpoint.py):
+                # warm-start params/BN, fresh optimizer
+                from rel_pose_tpu.train.checkpoint import load_params_only
+                p, s = load_params_only(args.ckpt, state.params,
+                                        state.bn_state)
+                state = state.replace(params=jax.tree.map(jnp.asarray, p),
+                                      bn_state=jax.tree.map(jnp.asarray, s))
     elif resume is not None:
         print("loading existing checkpoint", resume)
         tree = load_checkpoint(resume, jax.tree.map(np.asarray, state))
