@@ -137,19 +137,23 @@ void rp_color_jitter(float* data, int n, int h, int w, const int* ops,
   for (int oi = 0; oi < n_ops; ++oi) {
     int op = ops[oi];
     float f = vals[oi];
-    // contrast needs the mean gray of the CURRENT state, over all n images
+    // contrast needs the mean gray of the CURRENT state, over all n images.
+    // Parallelize over (image, row) — n is tiny (a pair), rows are many.
+    const int total_rows = n * h;
     float mean_gray = 0.f;
     if (op == 1) {
-      std::vector<double> partial((size_t)n, 0.0);
-      parallel_rows(n, nthreads, [&](int lo, int hi) {
-        for (int img = lo; img < hi; ++img) {
-          const float* b = data + img * 3 * plane;
+      std::vector<double> partial((size_t)total_rows, 0.0);
+      parallel_rows(total_rows, nthreads, [&](int lo, int hi) {
+        for (int row = lo; row < hi; ++row) {
+          int img = row / h;
+          int y = row % h;
+          const float* b = data + img * 3 * plane + (int64_t)y * w;
           const float* g = b + plane;
           const float* r = g + plane;
           double acc = 0.0;
-          for (int64_t i = 0; i < plane; ++i)
+          for (int i = 0; i < w; ++i)
             acc += kRW * r[i] + kGW * g[i] + kBW * b[i];
-          partial[img] = acc;
+          partial[row] = acc;
         }
       });
       double total = 0.0;
@@ -157,12 +161,14 @@ void rp_color_jitter(float* data, int n, int h, int w, const int* ops,
       mean_gray = (float)(total / ((double)n * plane));
     }
 
-    parallel_rows(n, nthreads, [&](int lo, int hi) {
-      for (int img = lo; img < hi; ++img) {
-        float* bp = data + img * 3 * plane;
+    parallel_rows(total_rows, nthreads, [&](int lo, int hi) {
+      for (int row = lo; row < hi; ++row) {
+        int img = row / h;
+        int y = row % h;
+        float* bp = data + img * 3 * plane + (int64_t)y * w;
         float* gp = bp + plane;
         float* rp = gp + plane;
-        for (int64_t i = 0; i < plane; ++i) {
+        for (int64_t i = 0; i < w; ++i) {
           float b = bp[i], g = gp[i], r = rp[i];
           switch (op) {
             case 0:  // brightness

@@ -117,6 +117,8 @@ def _fwd_call(q, k, v, scale, interpret=False):
         in_specs=[_spec(N, d)] * 3,
         out_specs=_spec(N, d),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=4 * G * N * N * d, transcendentals=G * N * N,
             bytes_accessed=4 * G * N * d * q.dtype.itemsize),
@@ -133,6 +135,8 @@ def _bwd_call(q, k, v, do, scale, interpret=False):
         in_specs=[_spec(N, d)] * 4,
         out_specs=[_spec(N, d)] * 3,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=10 * G * N * N * d, transcendentals=G * N * N,
             bytes_accessed=7 * G * N * d * q.dtype.itemsize),

@@ -166,6 +166,8 @@ def _fwd_call(q, k, va, vb, scale, single_softmax, interpret=False):
         in_specs=[_spec(N, d), _spec(N, d), _spec(N, e), _spec(N, e)],
         out_specs=_fspec(e),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * G * N * N * (d + 2 * e), transcendentals=2 * G * N * N,
             bytes_accessed=2 * G * N * (d + e) * q.dtype.itemsize),
@@ -190,6 +192,8 @@ def _bwd_call(q, k, va, vb, df, scale, single_softmax, interpret=False):
                   _fspec(e)],
         out_specs=[_spec(N, d), _spec(N, d), _spec(N, e), _spec(N, e)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=6 * G * N * N * (d + 2 * e), transcendentals=2 * G * N * N,
             bytes_accessed=4 * G * N * (d + e) * q.dtype.itemsize),

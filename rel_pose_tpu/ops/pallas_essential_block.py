@@ -160,6 +160,8 @@ def _essential_block_call(qkv1, qkv2, positional, num_heads, cross_features,
                                lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * 2 * num_heads * N * N * (head_dim + 2 * e),
             transcendentals=B * 4 * num_heads * N * N,

@@ -147,6 +147,8 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False):
         out_specs=pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * G * depth * N * (3 * C * C + 2 * N * head_dim
                                        * num_heads + C * C + 8 * C * C),
