@@ -185,12 +185,52 @@ def _eb_fwd(qkv1, qkv2, positional, num_heads, cross_features,
     return out, (qkv1, qkv2, positional)
 
 
+def _head_stacked_impl(qkv1, qkv2, positional, num_heads, cross_features,
+                       use_single_softmax, has_pos):
+    """Same math as the block kernel, composed from the per-head
+    ``fused_bilinear_attention`` op — whose custom VJP is itself a Pallas
+    kernel on TPU.  Differentiating through THIS function gives the block op
+    a fully fused backward (einsum on other backends)."""
+    from .pallas_essential import fused_bilinear_attention
+
+    B, N, C3 = qkv1.shape
+    C = C3 // 3
+    d = C // num_heads
+    scale = d ** -0.5
+
+    def heads(qkv):
+        q = qkv[:, :, :C].reshape(B, N, num_heads, d)
+        k = qkv[:, :, C:2 * C].reshape(B, N, num_heads, d)
+        v = qkv[:, :, 2 * C:].reshape(B, N, num_heads, d)
+        return (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2))
+
+    q1, k1, v1 = heads(qkv1)
+    q2, k2, v2 = heads(qkv2)
+    e = d + (6 if has_pos else 0)
+    if has_pos:
+        pos = jnp.broadcast_to(positional[:, None].astype(v1.dtype),
+                               (B, num_heads, N, 6))
+        v1 = jnp.concatenate([v1, pos], axis=-1)
+        v2 = jnp.concatenate([v2, pos], axis=-1)
+
+    gqk = (2 * B * num_heads, N, d)
+    gv = (2 * B * num_heads, N, e)
+    q_all = jnp.concatenate([q2, q1], axis=0).reshape(gqk)
+    k_all = jnp.concatenate([k1, k2], axis=0).reshape(gqk)
+    vb_all = jnp.concatenate([v1, v2], axis=0).reshape(gv)
+    va_all = (jnp.concatenate([v2, v1], axis=0).reshape(gv)
+              if cross_features else vb_all)
+    f = fused_bilinear_attention(q_all, k_all, va_all, vb_all, scale,
+                                 single_softmax=use_single_softmax)
+    return f.reshape(2, B, num_heads, e, e).transpose(1, 0, 2, 3, 4)
+
+
 def _eb_bwd(num_heads, cross_features, use_single_softmax, has_pos, res, g):
     qkv1, qkv2, positional = res
     _, vjp = jax.vjp(
-        lambda a, b, p: essential_block_reference(
-            a, b, p, num_heads, cross_features, use_single_softmax,
-            has_pos=has_pos),
+        lambda a, b, p: _head_stacked_impl(
+            a, b, p, num_heads, cross_features, use_single_softmax, has_pos),
         qkv1, qkv2, positional)
     return vjp(g)
 

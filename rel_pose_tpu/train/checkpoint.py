@@ -53,8 +53,15 @@ def load_params_only(path, params_template, state_template):
     ``test_matterport.py:109-111``)."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    params = serialization.from_state_dict(params_template, raw["params"])
-    bn = serialization.from_state_dict(state_template, raw["bn_state"])
+    try:
+        params = serialization.from_state_dict(params_template, raw["params"])
+        bn = serialization.from_state_dict(state_template, raw["bn_state"])
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint {path} does not match the model configuration — "
+            "check the architecture flags (--transformer_depth, "
+            "--fusion_transformer, --noess, ...) used when it was trained: "
+            f"{e}") from e
     return params, bn
 
 
