@@ -22,7 +22,7 @@ from rel_pose_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
 from rel_pose_tpu.data.base import image_read
-from rel_pose_tpu.ops.image import nearest_resize  # noqa: F401 (resize below)
+from rel_pose_tpu.ops.image import nearest_resize
 
 
 def load_params(ckpt, cfg):

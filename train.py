@@ -94,7 +94,8 @@ def main():
           f"global batch {global_batch}")
 
     # model + optimizer
-    params, bn_state = vitess_init(jax.random.PRNGKey(args_seed := 0), cfg)
+    seed = 0  # reference: torch.manual_seed(0) per rank (train.py:35)
+    params, bn_state = vitess_init(jax.random.PRNGKey(seed), cfg)
     tx, schedule = make_optimizer(lr=args.lr, steps=args.steps,
                                   warmup=args.warmup,
                                   weight_decay=args.weight_decay,
@@ -150,7 +151,7 @@ def main():
             use_mini_dataset=args.use_mini_dataset)
         loader = DataLoader(
             db, batch_size=global_batch // jax.process_count(),
-            shuffle=is_training, seed=args_seed, epoch=epoch_count * 11 + subepoch,
+            shuffle=is_training, seed=seed, epoch=epoch_count * 11 + subepoch,
             num_workers=args.num_workers,
             num_shards=jax.process_count(), shard_index=jax.process_index())
 
