@@ -27,8 +27,7 @@ from ..config import ModelConfig
 from ..nn.init import xavier_uniform
 from ..nn.layers import (
     linear_init, linear_apply, layernorm_init, layernorm_apply,
-    conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply,
-    conv_bn_apply, mlp_init, mlp_apply,
+    conv2d_init, batchnorm_init, conv_bn_apply, mlp_init, mlp_apply,
 )
 from ..nn.resnet import resnet18_trunk_init, resnet18_trunk_apply
 from ..nn.extractor import residual_block_init, residual_block_apply

@@ -20,8 +20,7 @@ other norms are out of scope of the reference's runtime graph.
 import jax
 import jax.numpy as jnp
 
-from .layers import (conv2d_init, conv2d_apply, batchnorm_init,
-                     batchnorm_apply, conv_bn_apply)
+from .layers import conv2d_init, batchnorm_init, conv_bn_apply
 
 
 def residual_block_init(key, in_ch, out_ch, kernel_size, dtype=jnp.float32):

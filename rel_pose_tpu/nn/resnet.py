@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .layers import (
-    conv2d_init, conv2d_apply, batchnorm_init, batchnorm_apply,
-    conv_bn_apply, max_pool_2d,
+    conv2d_init, batchnorm_init, conv_bn_apply, max_pool_2d,
 )
 
 

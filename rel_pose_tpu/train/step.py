@@ -11,8 +11,6 @@ The train state is donated, so parameter/optimizer buffers are updated
 in place on device.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -117,6 +117,45 @@ class TestInteriorNet:
         assert images.shape == (2, 3, 384, 512)
 
 
+class TestStreetLearn:
+    def _make_root(self, tmp_path, t_variant):
+        root = str(tmp_path / "sl")
+        meta_dir = ("metadata/streetlearnT" if t_variant
+                    else "metadata/streetlearn")
+        meta_name = ("train_pair_translation_overlap.npy" if t_variant
+                     else "train_pair_rotation_overlap.npy")
+        img_dir = "streetlearn_2016" if t_variant else "streetlearn"
+        split = {}
+        for i in range(10):
+            p1, p2 = f"s/{i}a.png", f"s/{i}b.png"
+            for p in (p1, p2):
+                full = os.path.join(root, "data", img_dir, p)
+                _write_img(full, (256, 256))
+            split[i] = {"img1": {"path": p1, "x": 0.1, "y": 0.2},
+                        "img2": {"path": p2, "x": -0.1, "y": 0.0}}
+        os.makedirs(os.path.join(root, meta_dir), exist_ok=True)
+        np.save(os.path.join(root, meta_dir, meta_name),
+                np.array([split], dtype=object), allow_pickle=True)
+        return root
+
+    def test_rotation_variant(self, tmp_path):
+        root = self._make_root(tmp_path, t_variant=False)
+        ds = StreetLearn(datapath=root, subepoch=0, augment=False,
+                         streetlearn_interiornet_type="")
+        assert len(ds) == 1
+        images, poses, intr = ds[0]
+        assert images.shape == (2, 3, 384, 512)
+        np.testing.assert_allclose(poses[1, :3], 0.0)
+
+    def test_translation_variant_uses_2016_dir(self, tmp_path):
+        root = self._make_root(tmp_path, t_variant=True)
+        ds = StreetLearn(datapath=root, subepoch=0, augment=False,
+                         streetlearn_interiornet_type="T")
+        assert "streetlearn_2016" in ds.scene_info["images"][0][0]
+        images, poses, intr = ds[0]
+        assert np.isfinite(images).all()
+
+
 class TestFactoryLoader:
     def test_factory_concat(self, matterport_root):
         db = dataset_factory(["matterport"], datapath=matterport_root,
