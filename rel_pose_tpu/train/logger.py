@@ -40,10 +40,11 @@ class Logger:
             except Exception:
                 self._writer = False
 
-    def _flush(self):
+    def _flush(self, count=None):
         self._ensure_sinks()
         lr = float(self.schedule(self.total_steps)) if self.schedule else 0.0
-        means = {k: v / self.sum_freq for k, v in self.running.items()}
+        count = count or self.sum_freq
+        means = {k: v / count for k, v in self.running.items()}
         steps_done = self.total_steps + 1 - self._last_flush_step
         dt = time.time() - self._t0
         rate = steps_done / dt if dt > 0 else 0.0
@@ -79,6 +80,10 @@ class Logger:
                 self._writer.add_scalar(k, float(v), step)
 
     def close(self):
+        # flush any partial window so short runs still leave metrics behind
+        pending = self.total_steps - self._last_flush_step
+        if self.running and pending > 0:
+            self._flush(count=pending)
         if self._jsonl:
             self._jsonl.close()
         if self._writer:

@@ -114,6 +114,32 @@ class TestTrainCLI:
         assert "predicted R&t" in r.stdout
 
 
+class TestSubepochProtocol:
+    def test_val_subepoch_runs_and_resets(self, tmp_path):
+        """With 4 samples and batch 2, each subepoch is 2 batches; 25 steps
+        crosses subepochs 0-9 (20 train steps), the Matterport val subepoch
+        (which must NOT advance the step counter), and continues into
+        epoch 1."""
+        wd = str(tmp_path)
+        make_matterport_tree(os.path.join(wd, "matterport"))
+        r = run_cli([os.path.join(REPO, "train.py"),
+                     "--name", "sub", "--datapath", "matterport",
+                     "--dataset", "matterport", "--batch", "2", "--no_ddp",
+                     "--steps", "25", "--ckpt_every", "100",
+                     "--warmup", "2", "--num_workers", "1",
+                     "--transformer_depth", "2", "--fusion_transformer"],
+                    cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        out = r.stdout
+        assert "using val set" in out        # subepoch 10 ran as validation
+        assert "epoch 1" in out              # cycle reset after subepoch 10
+        assert "finished training!" in out
+        # val metrics were logged
+        runs = os.path.join(wd, "output", "sub", "runs", "metrics.jsonl")
+        text = open(runs).read()
+        assert "val_geo_loss_tr" in text
+
+
 class TestStreetlearnInteriornetCLI:
     def test_eval_interiornet(self, workdir, tmp_path):
         wd = str(workdir)
