@@ -118,9 +118,14 @@ def main():
     for start in tqdm(range(0, len(dset), B)):
         chunk = dset[start:start + B]
         images = np.stack([load_pair(e) for e in chunk])
+        # pad ragged final chunk to the full batch: avoids a second XLA
+        # compilation for the leftover shape
+        pad = B - len(chunk)
+        if pad:
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
         images = nearest_resize(jnp.asarray(images), (384, 512))
-        intr = jnp.asarray(np.tile(intrinsics[None], (len(chunk), 1, 1)))
-        poses = np.asarray(fwd(params, bn_state, images, intr))
+        intr = jnp.asarray(np.tile(intrinsics[None], (images.shape[0], 1, 1)))
+        poses = np.asarray(fwd(params, bn_state, images, intr))[:len(chunk)]
 
         for i, entry in enumerate(chunk):
             predictions["camera"]["gts"]["tran"].append(

@@ -149,9 +149,13 @@ def main():
                 rec["img1"]["x"], rec["img1"]["y"],
                 rec["img2"]["x"], rec["img2"]["y"]))
             gts.append(np.asarray(matrix_to_quat(jnp.asarray(gt_rmat))))
-        images = jnp.asarray(np.stack(images))
-        intr = jnp.asarray(np.tile(intrinsics[None], (len(chunk), 1, 1)))
-        poses = np.asarray(fwd(params, bn_state, images, intr))
+        images = np.stack(images)
+        pad = B - len(chunk)
+        if pad:  # pad ragged final chunk: avoid an extra XLA compile
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+        images = jnp.asarray(images)
+        intr = jnp.asarray(np.tile(intrinsics[None], (images.shape[0], 1, 1)))
+        poses = np.asarray(fwd(params, bn_state, images, intr))[:len(chunk)]
 
         for i in range(len(chunk)):
             predictions["camera"]["gts"]["tran"].append(np.zeros(3))
