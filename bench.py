@@ -26,6 +26,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
 
+    from rel_pose_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from rel_pose_tpu.config import ModelConfig

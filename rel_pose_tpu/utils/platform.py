@@ -7,9 +7,29 @@ CLIs honor ``RELPOSE_PLATFORM`` (e.g. ``cpu``, ``tpu``) via ``jax.config``
 
 import os
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Persistent XLA compilation cache — first TPU compiles through the
+    tunnel take minutes; cached reloads take seconds.  Disable with
+    RELPOSE_NO_CACHE=1."""
+    if os.environ.get("RELPOSE_NO_CACHE"):
+        return
+    import jax
+    cache_dir = cache_dir or os.environ.get("RELPOSE_CACHE_DIR", _CACHE_DIR)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 
 def apply_platform_env():
     plat = os.environ.get("RELPOSE_PLATFORM")
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    enable_compilation_cache()
