@@ -18,3 +18,19 @@ Layer map (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Public API (lazy — importing the package must not pull in jax for tools
+# that only need metadata)
+
+
+def __getattr__(name):
+    if name in ("ModelConfig", "TrainConfig"):
+        from . import config
+        return getattr(config, name)
+    if name in ("vitess_init", "vitess_forward", "normalize_preds"):
+        from . import models
+        return getattr(models, name)
+    if name == "geodesic_loss":
+        from .geom import geodesic_loss
+        return geodesic_loss
+    raise AttributeError(f"module 'rel_pose_tpu' has no attribute {name!r}")
