@@ -64,7 +64,6 @@ class DataLoader:
                    for i in range(nb)]
 
         out_q = queue.Queue(maxsize=self.prefetch)
-        slots = [None] * nb
         lock = threading.Lock()
         next_emit = [0]
         work_iter = iter(enumerate(batches))
@@ -91,7 +90,16 @@ class DataLoader:
                     stop.wait(0.002)
                 if stop.is_set():
                     return
-                out_q.put((bi, batch))
+                # bounded put that still honors shutdown (a blocked put on a
+                # full queue must not outlive an early-exiting consumer)
+                while not stop.is_set():
+                    try:
+                        out_q.put((bi, batch), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    return
                 with lock:
                     next_emit[0] += 1
 

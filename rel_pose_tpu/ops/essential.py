@@ -14,10 +14,10 @@ functions over a params pytree:
      (d+6)x(d+6) moment matrix analogous to U^T U in the 8-point algorithm;
   6. head-concat reshape + linear projection to dim.
 
-This file holds the einsum (plain XLA) implementation, used as the numerical
-reference; ``ops.pallas_kernels`` provides a fused Pallas kernel for the
-dual-softmax + bilinear chain with identical math.  The reduction dimension
-N=576 and the 70-wide moment dimension are zero-padded to MXU lanes by XLA.
+The compute itself is dispatched to the fused kernels:
+``ops.pallas_essential_block`` (the whole 2-direction x num_heads block from
+raw qkv tensors) and ``ops.pallas_attention`` for the --noess path, each with
+an einsum fallback off-TPU.
 """
 
 import jax
