@@ -193,6 +193,14 @@ def _vit_stack_fwd(x, stacked, depth, num_heads):
 
 def _vit_stack_bwd(depth, num_heads, res, g):
     x, stacked = res
+    if _use_pallas() and x.dtype == jnp.bfloat16:
+        # single-kernel backward: recompute + VJP of all blocks per sequence
+        # in VMEM, weight grads accumulated across the grid
+        from .pallas_vit_bwd import vit_stack_bwd_call
+        dx, dstacked = vit_stack_bwd_call(x, g, stacked, depth, num_heads)
+        dstacked = {k: v.astype(stacked[k].dtype)
+                    for k, v in dstacked.items()}
+        return dx, dstacked
     _, vjp = jax.vjp(
         lambda xx, ss: vit_stack_reference(xx, ss, depth, num_heads),
         x, stacked)
