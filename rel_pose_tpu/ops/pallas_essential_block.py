@@ -228,6 +228,12 @@ def _head_stacked_impl(qkv1, qkv2, positional, num_heads, cross_features,
 
 def _eb_bwd(num_heads, cross_features, use_single_softmax, has_pos, res, g):
     qkv1, qkv2, positional = res
+    if _use_pallas():
+        # single-kernel backward: all combos' VJPs per batch element in VMEM
+        from .pallas_essential_block_bwd import essential_block_bwd_call
+        return essential_block_bwd_call(
+            qkv1, qkv2, positional, g.astype(jnp.float32), num_heads,
+            cross_features, use_single_softmax, has_pos)
     _, vjp = jax.vjp(
         lambda a, b, p: _head_stacked_impl(
             a, b, p, num_heads, cross_features, use_single_softmax, has_pos),
