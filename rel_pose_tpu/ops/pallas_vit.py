@@ -112,9 +112,10 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         y = _ln(x, ln2s_ref[i], ln2b_ref[i]).astype(cdt)
         hmid = (jnp.dot(y, fc1w_ref[i], preferred_element_type=jnp.float32)
                 + fc1b_ref[i].astype(jnp.float32)).astype(cdt)
-        # tanh-form GELU (the bf16-mode policy; Mosaic has no erf/erfc
-        # lowering, so the fp32 exact-erf path stays on the unfused route)
-        hmid = jax.nn.gelu(hmid, approximate=True)
+        # per-dtype GELU policy (tanh for bf16, polynomial erf for fp32 —
+        # Mosaic has no native erf lowering)
+        from .kernel_gelu import kernel_gelu
+        hmid = kernel_gelu(hmid, tanh_form=(cdt == jnp.bfloat16))
         out = (jnp.dot(hmid, fc2w_ref[i],
                        preferred_element_type=jnp.float32)
                + fc2b_ref[i].astype(jnp.float32))
@@ -193,7 +194,7 @@ def _vit_stack_fwd(x, stacked, depth, num_heads):
 
 def _vit_stack_bwd(depth, num_heads, res, g):
     x, stacked = res
-    if _use_pallas() and x.dtype == jnp.bfloat16:
+    if _use_pallas():
         # single-kernel backward: recompute + VJP of all blocks per sequence
         # in VMEM, weight grads accumulated across the grid
         from .pallas_vit_bwd import vit_stack_bwd_call
@@ -218,7 +219,7 @@ def fused_vit_stack(x, blocks, num_heads):
     if depth == 0:
         return x
     stacked = stack_block_params(blocks)
-    if _use_pallas() and x.dtype == jnp.bfloat16:
+    if _use_pallas():
         stacked = {k: v.astype(x.dtype) for k, v in stacked.items()}
         return _vit_stack_op(x, stacked, depth, num_heads)
     return vit_stack_reference(x, stacked, depth, num_heads)

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_vit import _STACK_FIELDS
+from .kernel_gelu import kernel_gelu, kernel_gelu_grad
 
 _LOG2E = 1.4426950408889634
 _SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
@@ -55,19 +56,6 @@ def _ln_bwd(dy, xhat, inv, scale):
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = inv * (dxhat - m1 - xhat * m2)
     return dx, dscale, dbias
-
-
-def _gelu_tanh(x):
-    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
-    return 0.5 * x * (1.0 + jnp.tanh(u))
-
-
-def _gelu_tanh_grad(x):
-    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
-    t = jnp.tanh(u)
-    sech2 = 1.0 - t * t
-    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * x * x)
-    return 0.5 * (1.0 + t) + 0.5 * x * sech2 * du
 
 
 def _attn_fwd_head(q, k, v, scale, cdt):
@@ -145,7 +133,7 @@ def _vit_stack_bwd_kernel(x_ref, g_ref,
         y2 = y2.astype(cdt)
         h1 = (jnp.dot(y2, fc1w_ref[i], preferred_element_type=jnp.float32)
               + fc1b_ref[i].astype(jnp.float32))
-        hg = _gelu_tanh(h1).astype(cdt)
+        hg = kernel_gelu(h1, tanh_form=(cdt == jnp.bfloat16)).astype(cdt)
         out = (jnp.dot(hg, fc2w_ref[i], preferred_element_type=jnp.float32)
                + fc2b_ref[i].astype(jnp.float32))
         x = (xa.astype(jnp.float32) + out).astype(cdt)
@@ -177,7 +165,7 @@ def _vit_stack_bwd_kernel(x_ref, g_ref,
         y2 = y2.astype(cdt)
         h1 = (jnp.dot(y2, fc1w_ref[i], preferred_element_type=jnp.float32)
               + fc1b_ref[i].astype(jnp.float32))
-        hg = _gelu_tanh(h1).astype(cdt)
+        hg = kernel_gelu(h1, tanh_form=(cdt == jnp.bfloat16)).astype(cdt)
 
         # mlp branch backward: x_out = xa + (gelu(y2 W1 + b1) W2 + b2)
         dout = dxo                                  # (N, C) fp32
@@ -188,7 +176,7 @@ def _vit_stack_bwd_kernel(x_ref, g_ref,
         dfc2b_ref[i] += jnp.sum(dout, axis=0)
         dhg = jnp.dot(dout_b, fc2w_ref[i].T,
                       preferred_element_type=jnp.float32)
-        dh1 = dhg * _gelu_tanh_grad(h1)
+        dh1 = dhg * kernel_gelu_grad(h1, tanh_form=(cdt == jnp.bfloat16))
         dh1_b = dh1.astype(cdt)
         dfc1w_ref[i] += jax.lax.dot_general(
             y2, dh1_b, (((0,), (0,)), ((), ())),

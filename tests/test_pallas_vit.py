@@ -39,11 +39,9 @@ class TestVitStackKernel:
         stacked = stack_block_params(blocks)
         ref = vit_stack_reference(x, stacked, depth, heads)
         out = _vit_stack_call(x, stacked, depth, heads, interpret=True)
-        # kernel uses tanh GELU (the bf16-mode policy; production only takes
-        # the fused path for bf16) while the fp32 reference uses exact erf:
-        # their gap is ~1e-3 absolute
+        # fp32 kernel GELU is the A&S erf polynomial (|err| < 1.5e-7)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-3)
+                                   atol=2e-4)
 
     def test_kernel_production_shape(self):
         dim, heads, depth = 192, 3, 1
@@ -54,7 +52,7 @@ class TestVitStackKernel:
         ref = vit_stack_reference(x, stacked, depth, heads)
         out = _vit_stack_call(x, stacked, depth, heads, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-3)
+                                   atol=2e-4)
 
     def test_custom_vjp_backward(self):
         from rel_pose_tpu.ops.pallas_vit import _vit_stack_bwd

@@ -11,8 +11,9 @@ from rel_pose_tpu.ops.pallas_vit_bwd import vit_stack_bwd_call
 RNG = np.random.default_rng(77)
 
 
-def tanh_gelu_reference(x, stacked, depth, num_heads):
-    """Unfused reference with tanh GELU (the kernel's activation)."""
+def gelu_policy_reference(x, stacked, depth, num_heads):
+    """Unfused reference following the kernel's GELU policy (exact erf for
+    fp32 inputs, tanh for bf16)."""
     def ln(x, scale, bias, eps=1e-6):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -37,7 +38,7 @@ def tanh_gelu_reference(x, stacked, depth, num_heads):
         x = x + (attn @ stacked["proj_w"][i] + stacked["proj_b"][i])
         y = ln(x, stacked["ln2_scale"][i], stacked["ln2_bias"][i])
         h1 = y @ stacked["fc1_w"][i] + stacked["fc1_b"][i]
-        hg = jax.nn.gelu(h1, approximate=True)
+        hg = jax.nn.gelu(h1, approximate=(x.dtype == jnp.bfloat16))
         x = x + (hg @ stacked["fc2_w"][i] + stacked["fc2_b"][i])
     return x
 
@@ -59,7 +60,7 @@ class TestVitStackBackwardKernel:
                                           interpret=True)
 
         def loss(xx, ss):
-            return jnp.sum(tanh_gelu_reference(xx, ss, depth, heads) * g)
+            return jnp.sum(gelu_policy_reference(xx, ss, depth, heads) * g)
 
         dx_r, ds_r = jax.grad(loss, argnums=(0, 1))(x, stacked)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
@@ -91,7 +92,7 @@ class TestVitStackBackwardKernel:
                                           interpret=True)
 
         def loss(xx, ss):
-            return jnp.sum(tanh_gelu_reference(xx, ss, depth, heads) * g)
+            return jnp.sum(gelu_policy_reference(xx, ss, depth, heads) * g)
 
         dx_r, ds_r = jax.grad(loss, argnums=(0, 1))(x, stacked)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
