@@ -239,3 +239,28 @@ class TestEssentialAttention:
         y2 = torch.nn.functional.linear(y2, pw, pb)
         np.testing.assert_allclose(np.asarray(o1), y2.numpy(), atol=1e-4)
         np.testing.assert_allclose(np.asarray(o2), y1.numpy(), atol=1e-4)
+
+
+class TestImageOps:
+    def test_preprocess_matches_reference_arithmetic(self):
+        """BGR->RGB flip + /255 + ImageNet normalize, vs the same chain in
+        torch (mirrors src/model.py:115-118)."""
+        import torch
+        from rel_pose_tpu.ops.image import preprocess_images
+        x = RNG.uniform(0, 255, (2, 3, 8, 10)).astype(np.float32)
+        ours = np.asarray(preprocess_images(jnp.array(x)))
+        xt = torch.tensor(x)[:, [2, 1, 0]] / 255.0
+        mean = torch.tensor([0.485, 0.456, 0.406])
+        std = torch.tensor([0.229, 0.224, 0.225])
+        ref = ((xt - mean[:, None, None]) / std[:, None, None]).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_scale_intrinsics(self):
+        from rel_pose_tpu.ops.image import scale_intrinsics
+        intr = jnp.array([[517.97, 517.97, 320.0, 240.0]])
+        out = np.asarray(scale_intrinsics(intr, (1, 2, 3, 480, 640),
+                                          (24, 24)))
+        np.testing.assert_allclose(out[0, 0], 517.97 * 24 / 640, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 1], 517.97 * 24 / 480, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 2], 320 * 24 / 640, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 3], 240 * 24 / 480, rtol=1e-6)
