@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    maybe_init_distributed,
     shard_batch,
     replicate,
     batch_sharding,
@@ -7,6 +8,6 @@ from .mesh import (
 )
 
 __all__ = [
-    "make_mesh", "shard_batch", "replicate", "batch_sharding",
-    "replicated_sharding",
+    "make_mesh", "maybe_init_distributed", "shard_batch", "replicate",
+    "batch_sharding", "replicated_sharding",
 ]

@@ -15,13 +15,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def maybe_init_distributed():
-    """Initialize multi-host JAX if a coordinator is configured (no-op on a
-    single host).  Replaces the reference's env:// NCCL rendezvous."""
+def _multihost_env_detected():
+    """True when the standard Cloud TPU pod / multi-slice env markers are
+    present — the cases where ``jax.distributed.initialize()`` can
+    auto-detect the cluster without explicit coordinator args."""
     import os
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or \
-            "COORDINATOR_ADDRESS" in os.environ:
+    if any(os.environ.get(v) for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS")):
+        return True
+    # Cloud TPU pod slices export the full worker list on every host.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hostnames.split(",") if h.strip()]) > 1
+
+
+def maybe_init_distributed(force=False):
+    """Initialize multi-host JAX when a cluster is detected (no-op on a
+    single host).  Replaces the reference's env:// NCCL rendezvous
+    (``/root/reference/train.py:29-33``).
+
+    Unlike round 1 (which required a custom ``JAX_COORDINATOR_ADDRESS``),
+    this also fires on the standard Cloud TPU pod markers, where
+    ``jax.distributed.initialize()`` auto-detects coordinator/process_id.
+    Returns True if distributed runtime is (now) initialized.
+    """
+    if not (force or _multihost_env_detected()):
+        return False
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        # Already initialized (e.g. by an outer launcher) is fine.
+        if "already" not in str(e).lower():
+            raise
+    return True
 
 
 def make_mesh(num_devices=None, devices=None):
