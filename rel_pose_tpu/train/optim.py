@@ -10,7 +10,32 @@ Reference (``/root/reference/train.py:69-73,158-166``):
   * gradient clipping by global norm 2.5 applied before the update.
 """
 
+import jax.numpy as jnp
 import optax
+
+
+def warm_start_adam(opt_state, mu, nu, count):
+    """Inject converted torch Adam moments into an optax chain state.
+
+    ``mu``/``nu`` are pytrees shaped like the params (from
+    ``utils.convert.convert_torch_adam_state``); ``count`` is the torch
+    per-param step, which drives the same bias correction in
+    ``scale_by_adam``.  The schedule count (and everything else in the chain)
+    is left untouched — the reference's ``--ckpt`` warm start also restores
+    the optimizer but starts the scheduler fresh
+    (``/root/reference/train.py:75-86``).
+    """
+    new = []
+    replaced = False
+    for s in opt_state:
+        if isinstance(s, optax.ScaleByAdamState):
+            s = optax.ScaleByAdamState(
+                count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu)
+            replaced = True
+        new.append(s)
+    if not replaced:
+        raise ValueError("no ScaleByAdamState found in optimizer state")
+    return tuple(new)
 
 
 def onecycle_schedule(lr, steps, warmup):

@@ -251,3 +251,105 @@ def load_torch_checkpoint(path, cfg: ModelConfig):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["model"] if "model" in ckpt else ckpt
     return convert_torch_state_dict(sd, cfg)
+
+
+# --------------------------------------------------- optimizer conversion ----
+
+_TORCH_BUFFER_SUFFIXES = (".running_mean", ".running_var",
+                          ".num_batches_tracked")
+
+
+def _strip_module(sd):
+    return {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def _param_names_in_order(model_sd):
+    """Ordered *parameter* keys of a reference ViTEss model state dict
+    (BN buffers excluded).
+
+    torch's ``state_dict()`` and ``named_parameters()`` both traverse modules
+    in registration order (params of a module before its children), so this
+    list's index i is exactly torch Adam's param id i — the ordering the
+    reference's ``Adam(model.parameters())`` used (``train.py:69``).
+
+    One wrinkle: ``named_parameters()`` deduplicates shared parameters while
+    ``state_dict()`` does not.  The only shared module in ViTEss is the
+    extractor's norm3, re-registered inside ``downsample``
+    (``/root/reference/src/modules/extractor.py:46-48``) — its
+    ``downsample.1`` alias keys must be dropped to keep ids aligned.
+    """
+    alias_prefix = "extractor_final_conv.downsample.1."
+    return [k for k in model_sd
+            if not k.endswith(_TORCH_BUFFER_SUFFIXES)
+            and not k.startswith(alias_prefix)]
+
+
+def _gather_moments(spec, table, model_sd, dtype):
+    """Like ``_gather`` but reads from the Adam moment table, falling back to
+    zeros (shaped like the model weight) for params torch never updated."""
+    if _is_leaf_spec(spec):
+        key, tf = spec
+        if key in table:
+            arr = _np(table[key])
+        else:
+            arr = np.zeros_like(_np(model_sd[key]))
+        if tf == "T":
+            arr = arr.T
+        return jnp.asarray(arr.astype(dtype))
+    if isinstance(spec, dict):
+        return {k: _gather_moments(v, table, model_sd, dtype)
+                for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [_gather_moments(v, table, model_sd, dtype) for v in spec]
+    raise TypeError(type(spec))
+
+
+def convert_torch_adam_state(opt_sd, model_sd, cfg: ModelConfig,
+                             dtype=np.float32):
+    """torch ``optimizer`` (Adam) state dict -> (mu, nu, count) aligned to
+    our params pytree, for warm-starting ``optax.scale_by_adam``.
+
+    The reference's ``--ckpt`` path restores model AND optimizer
+    (``/root/reference/train.py:75-86``); torch Adam's per-param
+    ``exp_avg``/``exp_avg_sq``/``step`` map 1:1 onto ScaleByAdamState's
+    ``mu``/``nu``/``count`` (optax keeps one global count — in a torch run
+    every updated param shares the same step, so the max is exact).
+    Frozen params (resnet.layer3/4, ``train.py:59-64``) have no torch state
+    and are outside our param tree anyway; any mapped param missing from the
+    torch state warm-starts at zero moments.
+    """
+    sd = _strip_module(model_sd)
+    names = _param_names_in_order(sd)
+    ids = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
+    if len(ids) != len(names):
+        raise ValueError(
+            f"optimizer param_groups reference {len(ids)} params but the "
+            f"model state dict has {len(names)} parameters — checkpoint and "
+            "model configuration disagree")
+    id_to_name = {pid: names[pos] for pos, pid in enumerate(ids)}
+
+    exp_avg, exp_avg_sq, step = {}, {}, 0
+    for pid, pstate in opt_sd["state"].items():
+        name = id_to_name[int(pid)]
+        exp_avg[name] = pstate["exp_avg"]
+        exp_avg_sq[name] = pstate["exp_avg_sq"]
+        step = max(step, int(_np(pstate["step"]).item()))
+
+    pmap, _ = build_key_maps(cfg)
+    mu = _gather_moments(pmap, exp_avg, sd, dtype)
+    nu = _gather_moments(pmap, exp_avg_sq, sd, dtype)
+    return mu, nu, step
+
+
+def load_torch_checkpoint_with_optimizer(path, cfg: ModelConfig):
+    """Load a reference ``.pth`` -> (params, state, adam) where ``adam`` is
+    (mu, nu, count) or None when the checkpoint carries no optimizer."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    params, state = convert_torch_state_dict(sd, cfg)
+    adam = None
+    if isinstance(ckpt, dict) and "optimizer" in ckpt:
+        adam = convert_torch_adam_state(ckpt["optimizer"], sd, cfg)
+    return params, state, adam

@@ -1,0 +1,522 @@
+"""Reference-code-in-the-loop parity tests.
+
+These tests import the reference's OWN torch modules from
+``/root/reference/src`` (torch-only imports), build them at the real config,
+move the weights across with ``rel_pose_tpu.utils.convert``'s key maps, and
+assert activation parity against our JAX implementation:
+
+  * ``get_positional_encodings`` / ``get_l1_positional_encodings`` tables
+    (``/root/reference/src/modules/vision_transformer.py:37-158``) — including
+    the column-major ``k*w + j`` token-ordering quirk (:147-151);
+  * ``Block`` (self-attention, :336-354);
+  * ``CrossBlock``/``CrossAttention`` (the Essential Matrix Module, :160-304)
+    across every ablation-flag path;
+  * the full ``ViTEss.forward`` (``/root/reference/src/model.py:111-191``),
+    with ``lietorch``/``torchvision`` stubbed in ``sys.modules`` (lietorch's
+    SE3 is only used for ``.data`` plumbing in ``normalize_preds``; the
+    torchvision stub is a hand-written torch ResNet-18 with torchvision's
+    state-dict naming, which the converter maps onto our trunk).
+
+Until the pretrained ``.pth`` assets are available, agreement between the
+reference's own forward pass and ours (through the real converter) is the
+strongest obtainable checkpoint-parity evidence.
+"""
+
+import sys
+import types
+from functools import partial
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+# ----------------------------------------------------------------- stubs ----
+
+class _SE3Stub:
+    """Minimal lietorch.SE3: a (..., 7) tensor in a `.data` attribute.
+    Covers exactly the surface ``normalize_preds``/``forward`` touch
+    (``src/model.py:145-181``)."""
+
+    def __init__(self, data):
+        self.data = data
+
+    def __getitem__(self, idx):
+        return _SE3Stub(self.data[idx])
+
+    @classmethod
+    def IdentityLike(cls, other):
+        d = torch.zeros_like(other.data)
+        d[..., 6] = 1.0
+        return cls(d)
+
+
+class _BasicBlock(tnn.Module):
+    """torchvision-naming BasicBlock (conv1/bn1/conv2/bn2/downsample.{0,1})."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.relu = tnn.ReLU(inplace=True)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + identity)
+
+
+class _ResNet18(tnn.Module):
+    """Stand-in for torchvision.models.resnet18 with identical module tree /
+    state-dict keys (only stem+layer1+layer2 are executed by the reference,
+    ``src/model.py:127-132``, but the full tree keeps state_dict realistic)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = tnn.Sequential(_BasicBlock(64, 64), _BasicBlock(64, 64))
+        self.layer2 = tnn.Sequential(_BasicBlock(64, 128, 2),
+                                     _BasicBlock(128, 128))
+        self.layer3 = tnn.Sequential(_BasicBlock(128, 256, 2),
+                                     _BasicBlock(256, 256))
+        self.layer4 = tnn.Sequential(_BasicBlock(256, 512, 2),
+                                     _BasicBlock(512, 512))
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+        self.fc = tnn.Linear(512, 1000)
+
+
+def _install_stubs():
+    if "lietorch" not in sys.modules:
+        lt = types.ModuleType("lietorch")
+        lt.SE3 = _SE3Stub
+        sys.modules["lietorch"] = lt
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+        models.resnet18 = lambda *a, **k: _ResNet18()
+        tv.models = models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
+
+
+def _import_ref(name):
+    _install_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+    return importlib.import_module(name)
+
+
+@pytest.fixture(autouse=True)
+def _cpu_cuda(monkeypatch):
+    """The reference calls ``.cuda()`` in its hot path
+    (``vision_transformer.py:209-211``, ``extractor.py:62``); make it a no-op
+    so the torch code runs on this CPU-only host."""
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+
+
+def _randomize(model, seed, scale=0.08):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.empty_like(p).uniform_(-scale, scale, generator=g))
+        for name, b in model.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.empty_like(b).uniform_(-0.05, 0.05,
+                                                     generator=g))
+            elif name.endswith("running_var"):
+                b.copy_(torch.empty_like(b).uniform_(0.8, 1.2, generator=g))
+
+
+def _j(t):
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def _lin(mod):
+    return {"w": _j(mod.weight).T, "b": _j(mod.bias)}
+
+
+def _ln(mod):
+    return {"scale": _j(mod.weight), "bias": _j(mod.bias)}
+
+
+def _scaled_intrinsics(B):
+    """Matterport intrinsics already scaled to the 24x24 grid, as
+    ``update_intrinsics`` produces (``src/model.py:100-109``)."""
+    fx, fy, cx, cy = (517.97 * 24 / 512, 517.97 * 24 / 384,
+                      320 * 24 / 512, 240 * 24 / 384)
+    return np.tile(np.array([[fx, fy, cx, cy]], np.float32), (B, 2, 1))
+
+
+# ------------------------------------------------- positional encodings ----
+
+class TestPositionalEncodingParity:
+    def test_quadratic_no_intrinsics(self):
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.ops.posenc import quadratic_positional_encoding
+        ref = rv.get_positional_encodings(3, 576, None).numpy()
+        ours = np.asarray(quadratic_positional_encoding(576, None, batch=3))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_quadratic_with_intrinsics(self):
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.ops.posenc import quadratic_positional_encoding
+        intr = _scaled_intrinsics(2)
+        ref = rv.get_positional_encodings(
+            2, 576, torch.from_numpy(intr.copy())).numpy()
+        ours = np.asarray(
+            quadratic_positional_encoding(576, jnp.asarray(intr)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_quadratic_rect_grid_no_intrinsics(self):
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.ops.posenc import quadratic_positional_encoding
+        ref = rv.get_positional_encodings(1, 48 * 64, None).numpy()
+        ours = np.asarray(
+            quadratic_positional_encoding(48 * 64, None, batch=1))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_l1_with_intrinsics(self):
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.ops.posenc import l1_positional_encoding
+        intr = _scaled_intrinsics(2)
+        ref = rv.get_l1_positional_encodings(
+            2, 576, torch.from_numpy(intr.copy())).numpy()
+        ours = np.asarray(l1_positional_encoding(576, jnp.asarray(intr)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+# ------------------------------------------------------------ ViT Block ----
+
+class TestBlockParity:
+    def test_self_attention_block(self):
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.nn.transformer import vit_block_apply
+
+        blk = rv.Block(dim=192, num_heads=3, qkv_bias=True,
+                       norm_layer=partial(tnn.LayerNorm, eps=1e-6))
+        _randomize(blk, seed=1)
+        blk.eval()
+
+        params = {
+            "norm1": _ln(blk.norm1), "qkv": _lin(blk.attn.qkv),
+            "proj": _lin(blk.attn.proj), "norm2": _ln(blk.norm2),
+            "mlp": {"fc1": _lin(blk.mlp.fc1), "fc2": _lin(blk.mlp.fc2)},
+        }
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 576, 192)).astype(np.float32)
+        with torch.no_grad():
+            ref = blk(torch.from_numpy(x)).numpy()
+        ours = np.asarray(vit_block_apply(params, jnp.asarray(x), 3))
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------- Cross Block ----
+
+def _cross_block_params(blk, noess):
+    ca = {"qkv": _lin(blk.cross_attn.qkv)}
+    if noess:
+        ca["proj"] = _lin(blk.cross_attn.proj)
+    else:
+        ca["proj_fundamental"] = _lin(blk.cross_attn.proj_fundamental)
+    return {
+        "norm1": _ln(blk.norm1), "cross_attn": ca, "norm2": _ln(blk.norm2),
+        "mlp": {"fc1": _lin(blk.mlp.fc1), "fc2": _lin(blk.mlp.fc2)},
+    }
+
+
+CROSS_FLAG_CASES = [
+    dict(),
+    dict(use_single_softmax=True),
+    dict(cross_features=True),
+    dict(l1_pos_encoding=True),
+    dict(noess=True),
+]
+
+
+class TestCrossBlockParity:
+    @pytest.mark.parametrize("flags", CROSS_FLAG_CASES,
+                             ids=lambda f: "+".join(f) or "default")
+    def test_essential_matrix_module(self, flags):
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.config import ModelConfig
+        from rel_pose_tpu.models.vitess import _cross_block
+
+        blk = rv.CrossBlock(dim=192, num_heads=3, qkv_bias=True,
+                            norm_layer=partial(tnn.LayerNorm, eps=1e-6),
+                            **flags)
+        _randomize(blk, seed=2)
+        blk.eval()
+
+        cfg = ModelConfig(**flags)
+        params = _cross_block_params(blk, cfg.noess)
+
+        B = 2
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2 * B, 576, 192)).astype(np.float32)
+        intr = _scaled_intrinsics(B)
+        with torch.no_grad():
+            ref = blk(torch.from_numpy(x.copy()),
+                      intrinsics=torch.from_numpy(intr.copy())).numpy()
+        ours = np.asarray(_cross_block(params, cfg, jnp.asarray(x),
+                                       jnp.asarray(intr)))
+        assert ours.shape == ref.shape
+        # rtol matters for the single-softmax variant: its row-only
+        # normalization leaves fundamental entries at O(10-40) magnitude.
+        np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=2e-5)
+
+    def test_no_pos_encoding_is_broken_upstream(self):
+        """Pin the upstream bug: with ``--no_pos_encoding`` alone, the
+        reference builds ``proj_fundamental = Linear(dim + 6h, dim)``
+        unconditionally (``vision_transformer.py:179``) but feeds it a
+        (…, dim)-wide tensor (:226-231) — its own forward crashes.  Our
+        implementation sizes the projection to the actual input
+        (``ops/essential.py:39-41``) and must keep working."""
+        rv = _import_ref("src.modules.vision_transformer")
+        from rel_pose_tpu.config import ModelConfig
+        from rel_pose_tpu.models.vitess import _cross_block
+
+        blk = rv.CrossBlock(dim=192, num_heads=3, qkv_bias=True,
+                            norm_layer=partial(tnn.LayerNorm, eps=1e-6),
+                            no_pos_encoding=True)
+        _randomize(blk, seed=2)
+        blk.eval()
+        B = 2
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2 * B, 576, 192)).astype(np.float32)
+        intr = _scaled_intrinsics(B)
+        with torch.no_grad(), pytest.raises(RuntimeError,
+                                            match="cannot be multiplied"):
+            blk(torch.from_numpy(x.copy()),
+                intrinsics=torch.from_numpy(intr.copy()))
+
+        cfg = ModelConfig(no_pos_encoding=True)
+        params = _cross_block_params(blk, noess=False)
+        # our projection is (dim -> dim) in this mode; slice the torch
+        # weights accordingly (first `dim` input columns)
+        pf = params["cross_attn"]["proj_fundamental"]
+        params["cross_attn"]["proj_fundamental"] = {
+            "w": pf["w"][:192], "b": pf["b"]}
+        ours = np.asarray(_cross_block(params, cfg, jnp.asarray(x),
+                                       jnp.asarray(intr)))
+        assert ours.shape == (2 * B, 64, 192)
+        assert np.isfinite(ours).all()
+
+
+# ------------------------------------------------------------ full model ----
+
+def _ref_args(**overrides):
+    import argparse
+    ns = argparse.Namespace(
+        fusion_transformer=True, transformer_depth=6, noess=False,
+        cross_features=False, use_single_softmax=False,
+        no_pos_encoding=False, l1_pos_encoding=False,
+        fc_hidden_size=512, pool_size=60)
+    for k, v in overrides.items():
+        setattr(ns, k, v)
+    return ns
+
+
+FULL_MODEL_CASES = [
+    dict(),
+    dict(transformer_depth=2),
+    dict(noess=True, transformer_depth=2),
+    dict(fusion_transformer=False),
+]
+
+
+class TestFullModelParity:
+    @pytest.mark.parametrize("flags", FULL_MODEL_CASES,
+                             ids=lambda f: "+".join(f"{k}={v}" for k, v
+                                                    in f.items()) or "default")
+    def test_vitess_forward(self, flags):
+        rm = _import_ref("src.model")
+        from rel_pose_tpu.config import ModelConfig
+        from rel_pose_tpu.models import vitess_forward
+        from rel_pose_tpu.utils.convert import convert_torch_state_dict
+
+        ref_model = rm.ViTEss(_ref_args(**flags))
+        _randomize(ref_model, seed=3, scale=0.05)
+        ref_model.eval()
+
+        cfg = ModelConfig(**flags)
+        params, state = convert_torch_state_dict(ref_model.state_dict(), cfg)
+
+        B = 2
+        rng = np.random.default_rng(2)
+        images = rng.uniform(0, 255, (B, 2, 3, 384, 512)).astype(np.float32)
+        intr = np.tile(np.array([[517.97, 517.97, 320, 240]], np.float32),
+                       (B, 2, 1))
+        gs = np.zeros((B, 2, 7), np.float32)
+        gs[..., 6] = 1.0
+
+        with torch.no_grad():
+            ref_out = ref_model(
+                torch.from_numpy(images.copy()),
+                _SE3Stub(torch.from_numpy(gs.copy())),
+                intrinsics=torch.from_numpy(intr.copy()),
+                inference=False)
+        ref_poses = ref_out[0].data.numpy()
+
+        ours, _ = vitess_forward(params, state, cfg, jnp.asarray(images),
+                                 jnp.asarray(intr), training=False)
+        ours = np.asarray(ours)
+        assert ours.shape == ref_poses.shape
+        np.testing.assert_allclose(ours, ref_poses, atol=5e-4)
+
+
+# -------------------------------------------------- Adam state conversion ----
+
+class TestAdamStateConversion:
+    """torch Adam moments -> optax warm start (reference --ckpt semantics,
+    ``/root/reference/train.py:75-86``)."""
+
+    def _trained_ref(self, steps=2, lr=2e-5):
+        rm = _import_ref("src.model")
+        model = rm.ViTEss(_ref_args(transformer_depth=2))
+        _randomize(model, seed=4, scale=0.05)
+        # reference freezes layer3/4 BEFORE building Adam (train.py:59-69)
+        for p in model.resnet.layer3.parameters():
+            p.requires_grad = False
+        for p in model.resnet.layer4.parameters():
+            p.requires_grad = False
+        opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
+        g = torch.Generator().manual_seed(7)
+        directions = {
+            n: torch.empty_like(p).uniform_(-1, 1, generator=g)
+            for n, p in model.named_parameters() if p.requires_grad}
+        for _ in range(steps):
+            opt.zero_grad()
+            # deterministic synthetic loss: grad(p) = direction * cos-ish mix
+            loss = sum((p * directions[n]).sum() + 0.5 * (p ** 2).sum()
+                       for n, p in model.named_parameters()
+                       if p.requires_grad)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(
+                [p for p in model.parameters() if p.requires_grad], 2.5)
+            opt.step()
+        return model, opt, directions
+
+    def test_moments_map_onto_params_tree(self):
+        from rel_pose_tpu.config import ModelConfig
+        from rel_pose_tpu.utils.convert import (
+            convert_torch_state_dict, convert_torch_adam_state)
+
+        model, opt, _ = self._trained_ref()
+        cfg = ModelConfig(transformer_depth=2)
+        sd = model.state_dict()
+        params, _ = convert_torch_state_dict(sd, cfg)
+        mu, nu, count = convert_torch_adam_state(opt.state_dict(), sd, cfg)
+
+        assert count == 2
+        assert (jax.tree.structure(mu) == jax.tree.structure(params) ==
+                jax.tree.structure(nu))
+        ok = jax.tree.map(lambda m, p: m.shape == p.shape, mu, params)
+        assert all(jax.tree.leaves(ok))
+
+        # spot-check leaves against torch's own state, incl. the transpose.
+        # Adam ids index the FULL (deduplicated) parameters() order; frozen
+        # params simply have no state entry.
+        name_to_param = dict(model.named_parameters())
+        all_names = [n for n, _ in model.named_parameters()]
+        tstate = {all_names[int(i)]: s
+                  for i, s in opt.state_dict()["state"].items()}
+        qkv_m = tstate["fusion_transformer.blocks.1.cross_attn.qkv.weight"][
+            "exp_avg"].numpy()
+        np.testing.assert_allclose(
+            np.asarray(mu["cross_block"]["cross_attn"]["qkv"]["w"]),
+            qkv_m.T, atol=1e-7)
+        fc1_v = tstate["pose_regressor.0.weight"]["exp_avg_sq"].numpy()
+        np.testing.assert_allclose(
+            np.asarray(nu["pose_regressor"]["fc1"]["w"]), fc1_v.T, atol=1e-7)
+        conv_m = tstate["resnet.layer2.0.conv1.weight"]["exp_avg"].numpy()
+        np.testing.assert_allclose(
+            np.asarray(mu["resnet"]["layer2_0"]["conv1"]["w"]), conv_m,
+            atol=1e-7)
+        assert "fusion_transformer.blocks.1.cross_attn.qkv.weight" in \
+            name_to_param  # sanity: the spot-checked key exists
+
+    def test_warm_started_step_matches_torch(self):
+        """One post-warm-start update must move params exactly as torch's
+        next Adam step does (same grads, same constant lr)."""
+        import optax
+        from rel_pose_tpu.config import ModelConfig
+        from rel_pose_tpu.utils.convert import (
+            convert_torch_state_dict, convert_torch_adam_state,
+            export_torch_state_dict)
+        from rel_pose_tpu.train.optim import warm_start_adam
+
+        lr = 2e-5
+        model, opt, directions = self._trained_ref(lr=lr)
+        cfg = ModelConfig(transformer_depth=2)
+        sd = {k: v.clone() for k, v in model.state_dict().items()}
+        params, bn = convert_torch_state_dict(sd, cfg)
+        mu, nu, count = convert_torch_adam_state(opt.state_dict(), sd, cfg)
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(2.5),
+            optax.add_decayed_weights(1e-5),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-lr))
+        opt_state = warm_start_adam(tx.init(params), mu, nu, count)
+
+        # identical synthetic grads on both sides: d = direction + p
+        pmap_grads = jax.tree.map(lambda p: p, params)  # placeholder struct
+        tgrad = {n: (directions[n] + p.detach()).clone()
+                 for n, p in model.named_parameters() if p.requires_grad}
+        # our grads: same formula evaluated on our (identical) params,
+        # moved through the key maps so layouts line up
+        exported = export_torch_state_dict(params, bn, cfg)
+        from rel_pose_tpu.utils.convert import _gather_moments, build_key_maps
+        gmap, _ = build_key_maps(cfg)
+        grads = _gather_moments(
+            gmap, {n: g.numpy() for n, g in tgrad.items()}, exported,
+            np.float32)
+        del pmap_grads
+
+        updates, _ = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        # torch side: one more step with those grads (clip first, as the
+        # reference hot loop does, train.py:161)
+        opt.zero_grad()
+        for n, p in model.named_parameters():
+            if p.requires_grad:
+                p.grad = tgrad[n].clone()
+        torch.nn.utils.clip_grad_norm_(
+            [p for p in model.parameters() if p.requires_grad], 2.5)
+        opt.step()
+
+        after = model.state_dict()
+        ours_qkv = np.asarray(
+            new_params["cross_block"]["cross_attn"]["qkv"]["w"])
+        np.testing.assert_allclose(
+            ours_qkv,
+            after["fusion_transformer.blocks.1.cross_attn.qkv.weight"]
+            .numpy().T, atol=1e-7)
+        ours_conv = np.asarray(new_params["resnet"]["layer2_0"]["conv1"]["w"])
+        np.testing.assert_allclose(
+            ours_conv, after["resnet.layer2.0.conv1.weight"].numpy(),
+            atol=1e-7)
+        ours_fc = np.asarray(new_params["pose_regressor"]["fc1"]["b"])
+        np.testing.assert_allclose(
+            ours_fc, after["pose_regressor.0.bias"].numpy(), atol=1e-7)

@@ -49,6 +49,9 @@ def main():
                              "all local devices)")
     parser.add_argument("--ckpt", help="checkpoint to restore (warm start)")
     parser.add_argument("--name", default="bla", help="name your experiment")
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="rematerialize the forward in the backward pass "
+                             "(larger per-chip batches at ~1.3x step FLOPs)")
     # data
     parser.add_argument("--datapath")
     parser.add_argument("--image_size", default=[384, 512])
@@ -107,9 +110,18 @@ def main():
     if args.ckpt is not None:
         print("loading separate checkpoint", args.ckpt)
         if args.ckpt.endswith(".pth"):
-            from rel_pose_tpu.utils.convert import load_torch_checkpoint
-            p, s = load_torch_checkpoint(args.ckpt, cfg)
+            # Reference --ckpt semantics (train.py:75-86): restore model AND
+            # Adam moments; scheduler and step count start fresh.
+            from rel_pose_tpu.utils.convert import (
+                load_torch_checkpoint_with_optimizer)
+            from rel_pose_tpu.train.optim import warm_start_adam
+            p, s, adam = load_torch_checkpoint_with_optimizer(args.ckpt, cfg)
             state = state.replace(params=p, bn_state=s)
+            if adam is not None:
+                mu, nu, count = adam
+                state = state.replace(opt_state=warm_start_adam(
+                    state.opt_state, mu, nu, count))
+                print(f"restored torch Adam moments (step {count})")
         else:
             try:
                 tree = load_checkpoint(args.ckpt,
@@ -129,7 +141,8 @@ def main():
         state = jax.tree.map(jnp.asarray, tree)
 
     state = replicate(mesh, state)
-    train_step = make_train_step(cfg, tx, args.w_tr, args.w_rot, mesh=mesh)
+    train_step = make_train_step(cfg, tx, args.w_tr, args.w_rot, mesh=mesh,
+                                 remat=args.remat)
     eval_step = make_eval_step(cfg, args.w_tr, args.w_rot, mesh=mesh)
 
     from rel_pose_tpu.utils.profiling import StepTimer
