@@ -48,6 +48,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ]
+        lib.rp_color_jitter_fused.argtypes = lib.rp_color_jitter.argtypes
         _lib = lib
     except Exception:
         _lib = False
@@ -78,10 +79,14 @@ def pair_to_chw_resize(images_u8, out_hw, nthreads=0):
 OP_BRIGHTNESS, OP_CONTRAST, OP_SATURATION, OP_HUE, OP_GRAY = 0, 1, 2, 3, 4
 
 
-def color_jitter(images_f32, ops, vals, nthreads=0):
+def color_jitter(images_f32, ops, vals, nthreads=0, fused=True):
     """In-place jitter on (n, 3, H, W) float32 BGR 0-255.  ``ops`` is a list
     of OP_* codes, ``vals`` the matching factors.  Returns the array, or
-    None if native lib is unavailable."""
+    None if native lib is unavailable.
+
+    ``fused=True`` (default) runs the single-pass kernel (whole op chain per
+    pixel in registers — one image read+write total); ``fused=False`` keeps
+    the original one-pass-per-op path (used for equivalence testing)."""
     lib = _load()
     if not lib:
         return None
@@ -89,7 +94,7 @@ def color_jitter(images_f32, ops, vals, nthreads=0):
     n, c, h, w = images_f32.shape
     ops_arr = np.asarray(ops, dtype=np.int32)
     vals_arr = np.asarray(vals, dtype=np.float32)
-    lib.rp_color_jitter(images_f32.ctypes.data, n, h, w,
-                        ops_arr.ctypes.data, vals_arr.ctypes.data,
-                        len(ops_arr), nthreads)
+    fn = lib.rp_color_jitter_fused if fused else lib.rp_color_jitter
+    fn(images_f32.ctypes.data, n, h, w,
+       ops_arr.ctypes.data, vals_arr.ctypes.data, len(ops_arr), nthreads)
     return images_f32

@@ -208,6 +208,159 @@ void rp_color_jitter(float* data, int n, int h, int w, const int* ops,
   }
 }
 
+namespace {
+
+#define RP_CLAMP_STORE(i)                              \
+  bp[i] = std::min(255.f, std::max(0.f, b));           \
+  gp[i] = std::min(255.f, std::max(0.f, g));           \
+  rp[i] = std::min(255.f, std::max(0.f, r));
+
+// One jitter op over a contiguous block of `len` pixels (planar b/g/r).
+// Each case is its own tight loop so the compiler auto-vectorizes; the
+// caller keeps blocks cache-resident so chaining ops costs no DRAM traffic.
+inline void apply_op_block(int op, float f, float mean_gray, float* bp,
+                           float* gp, float* rp, int64_t len) {
+  switch (op) {
+    case 0:
+      for (int64_t i = 0; i < len; ++i) {
+        float b = bp[i] * f, g = gp[i] * f, r = rp[i] * f;
+        RP_CLAMP_STORE(i);
+      }
+      break;
+    case 1:
+      for (int64_t i = 0; i < len; ++i) {
+        float b = f * bp[i] + (1.f - f) * mean_gray;
+        float g = f * gp[i] + (1.f - f) * mean_gray;
+        float r = f * rp[i] + (1.f - f) * mean_gray;
+        RP_CLAMP_STORE(i);
+      }
+      break;
+    case 2:
+      for (int64_t i = 0; i < len; ++i) {
+        float gray = kRW * rp[i] + kGW * gp[i] + kBW * bp[i];
+        float b = f * bp[i] + (1.f - f) * gray;
+        float g = f * gp[i] + (1.f - f) * gray;
+        float r = f * rp[i] + (1.f - f) * gray;
+        RP_CLAMP_STORE(i);
+      }
+      break;
+    case 3:
+      // branchless hue rotation (selects instead of switch) so the loop
+      // auto-vectorizes; float-op-for-float-op identical to hue_rotate.
+      for (int64_t i = 0; i < len; ++i) {
+        float r = rp[i] / 255.f, g = gp[i] / 255.f, b = bp[i] / 255.f;
+        float maxc = std::max(r, std::max(g, b));
+        float minc = std::min(r, std::min(g, b));
+        float v = maxc, diff = maxc - minc;
+        float vsafe = maxc > 0.f ? maxc : 1.f;   // unconditional division
+        float s = maxc > 0.f ? diff / vsafe : 0.f;
+        float safe = diff > 0.f ? diff : 1.f;
+        float rc = (maxc - r) / safe;
+        float gc = (maxc - g) / safe;
+        float bc = (maxc - b) / safe;
+        float hv = (maxc == r) ? (bc - gc)
+                               : ((maxc == g) ? (2.f + rc - bc)
+                                              : (4.f + gc - rc));
+        hv = hv / 6.f;
+        hv -= std::floor(hv);
+        hv = diff > 0.f ? hv : 0.f;
+        hv += f;
+        hv -= std::floor(hv);
+        float si = std::floor(hv * 6.f);
+        float fr = hv * 6.f - si;
+        float p = v * (1.f - s);
+        float q = v * (1.f - s * fr);
+        float t = v * (1.f - s * (1.f - fr));
+        // flat 0/1 masks: GCC if-converts single-level selects but not the
+        // 5-deep ternary chain a switch would need
+        float m0 = si == 0.f ? 1.f : 0.f;
+        float m1 = si == 1.f ? 1.f : 0.f;
+        float m2 = si == 2.f ? 1.f : 0.f;
+        float m3 = si == 3.f ? 1.f : 0.f;
+        float m4 = si == 4.f ? 1.f : 0.f;
+        float m5 = 1.f - m0 - m1 - m2 - m3 - m4;
+        r = m0 * v + m1 * q + (m2 + m3) * p + m4 * t + m5 * v;
+        g = m0 * t + (m1 + m2) * v + m3 * q + (m4 + m5) * p;
+        b = (m0 + m1) * p + m2 * t + (m3 + m4) * v + m5 * q;
+        r *= 255.f; g *= 255.f; b *= 255.f;
+        RP_CLAMP_STORE(i);
+      }
+      break;
+    default:
+      for (int64_t i = 0; i < len; ++i) {
+        float gray = kRW * rp[i] + kGW * gp[i] + kBW * bp[i];
+        float b = gray, g = gray, r = gray;
+        RP_CLAMP_STORE(i);
+      }
+      break;
+  }
+}
+
+#undef RP_CLAMP_STORE
+
+}  // namespace
+
+// Fused cache-tiled jitter: the image is processed in row tiles sized to
+// stay L2-resident, and the whole op chain runs per tile — ~one DRAM
+// read+write of the image for the full chain instead of one per op, with
+// each op's inner loop still auto-vectorized.  Contrast needs the mean gray
+// of the state AFTER the ops before it, so a chain containing contrast runs
+// as two tiled stages (prefix ops + gray reduction, then the rest).
+// Identical math to rp_color_jitter (falls back to it for the never-drawn
+// case of multiple contrast ops).
+void rp_color_jitter_fused(float* data, int n, int h, int w, const int* ops,
+                           const float* vals, int n_ops, int nthreads) {
+  if (nthreads <= 0) nthreads = default_threads();
+  if (n_ops <= 0) return;
+  int ci = -1, n_contrast = 0;
+  for (int i = 0; i < n_ops; ++i) {
+    if (ops[i] == 1) { ci = (ci < 0) ? i : ci; ++n_contrast; }
+  }
+  if (n_contrast > 1) {  // torchvision draws each op at most once
+    rp_color_jitter(data, n, h, w, ops, vals, n_ops, nthreads);
+    return;
+  }
+
+  const int64_t plane = (int64_t)h * w;
+  // ~96 KiB of pixel data (3 planes) per tile
+  const int tile_rows = std::max(1, 8192 / std::max(1, w));
+  const int tiles_per_img = (h + tile_rows - 1) / tile_rows;
+  const int total_tiles = n * tiles_per_img;
+
+  auto run_stage = [&](int op_lo, int op_hi, float mean_gray,
+                       std::vector<double>* gray_out) {
+    parallel_rows(total_tiles, nthreads, [&](int lo, int hi) {
+      for (int t = lo; t < hi; ++t) {
+        int img = t / tiles_per_img;
+        int y0 = (t % tiles_per_img) * tile_rows;
+        int64_t len = (int64_t)std::min(tile_rows, h - y0) * w;
+        float* bp = data + img * 3 * plane + (int64_t)y0 * w;
+        float* gp = bp + plane;
+        float* rp = gp + plane;
+        for (int oi = op_lo; oi < op_hi; ++oi)
+          apply_op_block(ops[oi], vals[oi], mean_gray, bp, gp, rp, len);
+        if (gray_out) {
+          double acc = 0.0;
+          for (int64_t i = 0; i < len; ++i)
+            acc += kRW * rp[i] + kGW * gp[i] + kBW * bp[i];
+          (*gray_out)[t] = acc;
+        }
+      }
+    });
+  };
+
+  if (ci < 0) {
+    run_stage(0, n_ops, 0.f, nullptr);
+    return;
+  }
+  std::vector<double> partial((size_t)total_tiles, 0.0);
+  run_stage(0, ci, 0.f, &partial);  // prefix ops + gray reduction
+  double total = 0.0;
+  for (double p : partial) total += p;
+  float mean_gray = (float)(total / ((double)n * plane));
+  run_stage(ci, n_ops, mean_gray, nullptr);  // contrast + the rest
+}
+
 int rp_num_threads() { return default_threads(); }
 
 }  // extern "C"

@@ -13,11 +13,39 @@ nearest uses half-pixel centers and differs.  We implement torch's exact
 semantics with integer gather indices (cheap, fully fused by XLA).
 """
 
+import math
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ImageNet statistics (src/model.py:116-117)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _axis_nearest_take(x, axis, n_in, n_out):
+    """Take ``floor(i * n_in / n_out)`` along one axis, expressed through the
+    index pattern's periodicity: with g = gcd(n_in, n_out) the pattern
+    repeats every n_in/g source elements, so reshaping the axis to
+    (g, n_in/g) reduces the full-length gather to a tiny per-block one —
+    and for the common pure-downscale ratios (256->224 is 8->7, 480->384 and
+    640->512 are 5->4) the block indices are contiguous, turning the whole
+    resize into a strided slice (pure DMA, ~2x faster on TPU than the
+    full-length gather this replaces)."""
+    if n_in == n_out:
+        return x
+    g = math.gcd(n_in, n_out)
+    bi, bo = n_in // g, n_out // g
+    idx = (np.arange(bo) * bi) // bo
+    ax = axis % x.ndim
+    shape = x.shape
+    x = x.reshape(shape[:ax] + (g, bi) + shape[ax + 1:])
+    if bo == idx[-1] + 1 and np.array_equal(idx, np.arange(bo)):
+        x = jax.lax.slice_in_dim(x, 0, bo, axis=ax + 1)
+    else:
+        x = jnp.take(x, jnp.asarray(idx), axis=ax + 1)
+    return x.reshape(shape[:ax] + (n_out,) + shape[ax + 1:])
 
 
 def nearest_resize(x, size):
@@ -32,11 +60,8 @@ def nearest_resize(x, size):
         size = (size, size)
     out_h, out_w = size
     in_h, in_w = x.shape[-2], x.shape[-1]
-    if (in_h, in_w) == (out_h, out_w):
-        return x
-    rows = (jnp.arange(out_h) * in_h) // out_h
-    cols = (jnp.arange(out_w) * in_w) // out_w
-    return x[..., rows, :][..., cols]
+    x = _axis_nearest_take(x, -2, in_h, out_h)
+    return _axis_nearest_take(x, -1, in_w, out_w)
 
 
 def preprocess_images(images):

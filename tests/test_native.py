@@ -72,6 +72,28 @@ class TestJitterParity:
         ref = self._numpy_chain(chw, draws)
         np.testing.assert_allclose(nat, ref, atol=0.1)
 
+    def test_fused_bitwise_equals_multipass(self):
+        """The cache-tiled fused kernel (one DRAM pass for the whole chain)
+        must be BIT-identical to the one-pass-per-op reference path, for
+        every op order incl. contrast-position variants."""
+        chw = RNG.uniform(0, 255, (2, 3, 120, 160)).astype(np.float32)
+        chains = [
+            [(3, 0.06), (0, 1.2), (1, 0.85), (2, 1.1), (4, 0.0)],
+            [(1, 0.9)],                      # contrast-only
+            [(1, 1.1), (3, -0.1)],           # contrast first
+            [(0, 0.8), (2, 1.2), (3, -0.1), (1, 1.15)],  # contrast last
+            [(0, 1.05), (2, 0.95)],          # no contrast
+            [(4, 0.0)],
+        ]
+        for draws in chains:
+            ops = [d[0] for d in draws]
+            vals = [d[1] for d in draws]
+            multi = np.ascontiguousarray(chw.copy())
+            fused = np.ascontiguousarray(chw.copy())
+            native.color_jitter(multi, ops, vals, fused=False)
+            native.color_jitter(fused, ops, vals, fused=True)
+            np.testing.assert_array_equal(fused, multi, err_msg=str(draws))
+
     def test_augmentor_uses_native(self):
         aug = RGBDAugmentor((100, 120), rng=np.random.default_rng(5))
         images = RNG.uniform(0, 255, (2, 3, 120, 160)).astype(np.float32)
