@@ -38,8 +38,11 @@ def main():
     params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)
+    # uint8 BGR: what image decode actually hands the device path (the
+    # fp32 conversion happens in-graph; bitwise-identical poses, see
+    # tests/test_model.py::test_uint8_input_matches_float)
     images = jnp.asarray(
-        rng.uniform(0, 255, (batch, 2, 3, 256, 256)).astype(np.float32))
+        rng.integers(0, 256, (batch, 2, 3, 256, 256), dtype=np.uint8))
     intrinsics = jnp.asarray(np.tile(
         np.array([[128.0, 128.0, 128.0, 128.0]], dtype=np.float32),
         (batch, 2, 1)))
@@ -47,13 +50,22 @@ def main():
     # Chain `iters` forwards inside ONE device program: the tunneled TPU
     # adds large per-call RTT and its block_until_ready does not actually
     # block, so honest timing = one jit call with an on-device loop + one
-    # host transfer at the end.  The carry feeds back into the input with a
-    # denormal-scale coupling so XLA cannot dead-code-eliminate iterations.
+    # host transfer at the end.  Each iteration's conv1 weights get a
+    # denormal-scale nudge from the previous result: a ~9 KB add that makes
+    # every downstream op carry-dependent, so XLA can neither hoist the
+    # forward out of the loop nor dead-code-eliminate iterations.  (An
+    # optimization_barrier is NOT enough — XLA splits tuple barriers
+    # per-element and hoists; coupling through the full-size images costs a
+    # measurable per-iteration elementwise pass.)
     @jax.jit
     def fwd_loop(params, bn_state, images, intrinsics):
         def body(_, carry):
-            poses, _ = vitess_forward(params, bn_state, cfg,
-                                      images + 1e-30 * carry[0, 0, 0],
+            w = params["resnet"]["conv1"]["w"]
+            nudged = (w.astype(jnp.float32)
+                      + 1e-30 * carry[0, 0, 0]).astype(w.dtype)
+            p = dict(params, resnet=dict(params["resnet"],
+                                         conv1={"w": nudged}))
+            poses, _ = vitess_forward(p, bn_state, cfg, images,
                                       intrinsics, training=False)
             return poses
         init = jnp.zeros((batch, 2, 7), jnp.float32)

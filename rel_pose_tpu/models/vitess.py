@@ -132,10 +132,14 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
     # elementwise normalization — resize first (fewer pixels to normalize;
     # the reference normalizes then resizes, same result).  In bf16 mode the
     # cast happens before normalization to halve the elementwise traffic.
+    # uint8 input is accepted (what image decode actually produces — 4x less
+    # host->device + first-read traffic); 0-255 integers are exact in bf16
+    # (8 significand bits), so the uint8 path is bitwise-identical.
     x = images.reshape((B * 2,) + images.shape[2:])
     x = nearest_resize(x, 224)
-    if cfg.compute_dtype == "bfloat16":
-        x = x.astype(jnp.bfloat16)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if x.dtype != dt:
+        x = x.astype(dt)
     x = preprocess_images(x)
 
     new_state = {}

@@ -78,9 +78,14 @@ def _ln(x, scale, bias, eps=1e-6):
 def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                       projw_ref, projb_ref, ln2s_ref, ln2b_ref,
                       fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref, *,
-                      depth, num_heads, head_dim):
-    x = x_ref[0]                                   # (N, C)
-    N, C = x.shape
+                      depth, num_heads, head_dim, seq_per_block):
+    S = seq_per_block
+    xb = x_ref[...]                                # (S, N, C)
+    N, C = xb.shape[-2], xb.shape[-1]
+    # All row-wise ops (LN, matmuls vs weights, MLP) run on the (S*N, C)
+    # flattening: S=2 makes M=1152 an exact multiple of the 128-wide MXU
+    # tiles (576 pads to 640 — 10% wasted M on every weight matmul).
+    x = xb.reshape(S * N, C)
     scale = (head_dim ** -0.5) * _LOG2E
     cdt = x.dtype
 
@@ -88,21 +93,27 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         # ---- attention branch
         y = _ln(x, ln1s_ref[i], ln1b_ref[i]).astype(cdt)
         qkv = (jnp.dot(y, qkvw_ref[i], preferred_element_type=jnp.float32)
-               + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (N, 3C)
-        heads = []
-        for h in range(num_heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
-            k = qkv[:, C + h * head_dim:C + (h + 1) * head_dim]
-            v = qkv[:, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp2(s - m)
-            l = jnp.sum(e, axis=1, keepdims=True)
-            o = jnp.dot(e.astype(cdt), v, preferred_element_type=jnp.float32)
-            heads.append(o / l)
-        attn = jnp.concatenate(heads, axis=-1).astype(cdt)       # (N, C)
+               + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (S*N, 3C)
+        per_seq = []
+        for s in range(S):
+            heads = []
+            for h in range(num_heads):
+                rows = slice(s * N, (s + 1) * N)
+                q = qkv[rows, h * head_dim:(h + 1) * head_dim]
+                k = qkv[rows, C + h * head_dim:C + (h + 1) * head_dim]
+                v = qkv[rows,
+                        2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+                sc = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                m = jnp.max(sc, axis=1, keepdims=True)
+                e = jnp.exp2(sc - m)
+                l = jnp.sum(e, axis=1, keepdims=True)
+                o = jnp.dot(e.astype(cdt), v,
+                            preferred_element_type=jnp.float32)
+                heads.append(o / l)
+            per_seq.append(jnp.concatenate(heads, axis=-1))
+        attn = jnp.concatenate(per_seq, axis=0).astype(cdt)    # (S*N, C)
         attn = (jnp.dot(attn, projw_ref[i],
                         preferred_element_type=jnp.float32)
                 + projb_ref[i].astype(jnp.float32))
@@ -121,7 +132,7 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                + fc2b_ref[i].astype(jnp.float32))
         x = (x.astype(jnp.float32) + out).astype(cdt)
 
-    o_ref[0] = x
+    o_ref[...] = x.reshape(S, N, C)
 
 
 def _const_spec(shape):
@@ -132,7 +143,12 @@ def _const_spec(shape):
 def _vit_stack_call(x, stacked, depth, num_heads, interpret=False):
     G, N, C = x.shape
     head_dim = C // num_heads
-    in_specs = [pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
+    # Sequences per grid instance.  S=2 (exact M=1152 MXU tiling) was
+    # measured SLOWER on v5e than S=1 (5378 vs 5600 pairs/s eval at batch
+    # 256) — the halved grid costs more pipelining than the 10% M-padding
+    # saves.  Kept parametrized; S=1 is the measured optimum.
+    S = 1
+    in_specs = [pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [x]
     for name, _ in _STACK_FIELDS:
@@ -141,11 +157,12 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False):
         args.append(arr)
     return pl.pallas_call(
         functools.partial(_vit_stack_kernel, depth=depth,
-                          num_heads=num_heads, head_dim=head_dim),
+                          num_heads=num_heads, head_dim=head_dim,
+                          seq_per_block=S),
         out_shape=jax.ShapeDtypeStruct((G, N, C), x.dtype),
-        grid=(G,),
+        grid=(G // S,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, N, C), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(

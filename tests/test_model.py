@@ -109,6 +109,21 @@ class TestForward:
         assert poses.dtype == jnp.float32
         assert np.isfinite(np.asarray(poses)).all()
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_uint8_input_matches_float(self, dtype):
+        """uint8 images (decode's native output) must produce bitwise the
+        same poses as the float path: 0-255 integers are exact in both
+        fp32 and bf16."""
+        cfg = ModelConfig(compute_dtype=dtype, transformer_depth=2)
+        params, state = vitess_init(jax.random.PRNGKey(0), cfg)
+        u8 = RNG.integers(0, 256, (2, 2, 3, 128, 160), dtype=np.uint8)
+        intr = jnp.asarray(np.tile(
+            np.array([[517.97, 517.97, 320, 240]], np.float32), (2, 2, 1)))
+        pf, _ = vitess_forward(params, state, cfg,
+                               jnp.asarray(u8.astype(np.float32)), intr)
+        pu, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
+        np.testing.assert_array_equal(np.asarray(pu), np.asarray(pf))
+
 
 class TestTraining:
     def test_grad_through_loss(self):
