@@ -44,7 +44,33 @@ def _axis_nearest_take(x, axis, n_in, n_out):
     if bo == idx[-1] + 1 and np.array_equal(idx, np.arange(bo)):
         x = jax.lax.slice_in_dim(x, 0, bo, axis=ax + 1)
     else:
-        x = jnp.take(x, jnp.asarray(idx), axis=ax + 1)
+        # cover the block indices with greedy maximal arithmetic
+        # progressions -> a concat of (strided) slices instead of a gather;
+        # e.g. 384->224 is blocks of 12->7, idx [0,1,3,5,6,8,10] = 3 APs,
+        # and 512->224 is 16->7, idx [0,2,4,6,9,11,13] = 2 stride-2 APs
+        if np.any(np.diff(idx) <= 0):
+            # upscale (repeated indices) — slices can't duplicate; gather
+            return jnp.take(x, jnp.asarray(idx), axis=ax + 1).reshape(
+                shape[:ax] + (n_out,) + shape[ax + 1:])
+        aps = []  # (start, count, stride)
+        i = 0
+        while i < len(idx):
+            if i + 1 == len(idx):
+                aps.append((int(idx[i]), 1, 1))
+                break
+            step = int(idx[i + 1] - idx[i])
+            j = i + 1
+            while j + 1 < len(idx) and int(idx[j + 1] - idx[j]) == step:
+                j += 1
+            aps.append((int(idx[i]), j - i + 1, step))
+            i = j + 1
+        if len(aps) < len(idx):
+            x = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, s, s + (c - 1) * st + 1, stride=st,
+                                      axis=ax + 1)
+                 for s, c, st in aps], axis=ax + 1)
+        else:
+            x = jnp.take(x, jnp.asarray(idx), axis=ax + 1)
     return x.reshape(shape[:ax] + (n_out,) + shape[ax + 1:])
 
 

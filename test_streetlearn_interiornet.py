@@ -98,7 +98,10 @@ def main():
 
     cfg = model_config_from_args(args)
 
-    # metadata selection (:158-174)
+    # metadata selection (:158-174).  NOTE: "nooverlap"/"nooverlapT" are
+    # accepted choices but alias to the rotation set — the reference's own
+    # dispatch only distinguishes type == 'T' (ref :158-172), so this is
+    # deliberate CLI parity, not a bug.
     if args.dataset == "interiornet":
         if args.streetlearn_interiornet_type == "T":
             meta = "metadata/interiornetT/test_pair_translation.npy"
