@@ -22,6 +22,7 @@ reference's own forward pass and ours (through the real converter) is the
 strongest obtainable checkpoint-parity evidence.
 """
 
+import os
 import sys
 import types
 from functools import partial
@@ -35,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 # ----------------------------------------------------------------- stubs ----
@@ -520,3 +522,30 @@ class TestAdamStateConversion:
         ours_fc = np.asarray(new_params["pose_regressor"]["fc1"]["b"])
         np.testing.assert_allclose(
             ours_fc, after["pose_regressor.0.bias"].numpy(), atol=1e-7)
+
+    def test_train_cli_pth_warm_start(self, tmp_path):
+        """End-to-end: `train.py --ckpt ref.pth` (a reference-format torch
+        checkpoint WITH optimizer) restores the Adam moments and trains."""
+        import subprocess
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+        from test_cli import make_matterport_tree
+
+        model, opt, _ = self._trained_ref()
+        pth = str(tmp_path / "warm.pth")
+        torch.save({"model": model.state_dict(),
+                    "optimizer": opt.state_dict()}, pth)
+        make_matterport_tree(str(tmp_path / "matterport"), n=2,
+                             hw=(120, 160))
+        env = dict(os.environ, RELPOSE_PLATFORM="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "train.py"),
+             "--name", "warm", "--datapath", "matterport",
+             "--dataset", "matterport", "--batch", "2", "--no_ddp",
+             "--steps", "1", "--ckpt_every", "1", "--warmup", "1",
+             "--num_workers", "1", "--transformer_depth", "2",
+             "--fusion_transformer", "--ckpt", pth],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "restored torch Adam moments (step 2)" in r.stdout
+        assert "finished training!" in r.stdout
