@@ -21,9 +21,14 @@ import jax.numpy as jnp
 
 from .init import kaiming_uniform_torch, torch_bias_uniform
 
-# Hot-path matmuls default to full fp32 unless the caller casts to bf16;
-# 'default' lets XLA pick the fast path for bf16 inputs.
-_DEFAULT = jax.lax.Precision.DEFAULT
+# Hot-path matmul/conv precision: None defers to jax's
+# ``jax_default_matmul_precision`` config, settable via the
+# RELPOSE_MATMUL_PRECISION env (see utils.platform).  On TPU, fp32 operands
+# at the backend default run single-pass-bf16-class MXU passes (~TF32
+# accuracy, what torch-on-Ampere fp32 gives); strict-parity runs can set
+# RELPOSE_MATMUL_PRECISION=highest for near-exact fp32 at ~3-6x matmul
+# cost.  bf16 inputs are unaffected.
+_DEFAULT = None
 
 
 # ---------------------------------------------------------------- linear ----

@@ -42,6 +42,12 @@ def _use_pallas():
         return False
 
 
+def _ablate():
+    """RELPOSE_VIT_ABLATE: comma list of kernel pieces to SKIP — profiling
+    aid only (produces wrong outputs).  E.g. 'nosoftmax,nogelu'."""
+    return os.environ.get("RELPOSE_VIT_ABLATE", "")
+
+
 # ----------------------------------------------------------- param packing --
 
 _STACK_FIELDS = [
@@ -106,9 +112,12 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                 sc = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
-                m = jnp.max(sc, axis=1, keepdims=True)
-                e = jnp.exp2(sc - m)
-                l = jnp.sum(e, axis=1, keepdims=True)
+                if "nosoftmax" in _ablate():   # profiling-only (wrong math)
+                    e, l = sc, 1.0
+                else:
+                    m = jnp.max(sc, axis=1, keepdims=True)
+                    e = jnp.exp2(sc - m)
+                    l = jnp.sum(e, axis=1, keepdims=True)
                 o = jnp.dot(e.astype(cdt), v,
                             preferred_element_type=jnp.float32)
                 heads.append(o / l)
@@ -125,8 +134,9 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                 + fc1b_ref[i].astype(jnp.float32)).astype(cdt)
         # per-dtype GELU policy (tanh for bf16, polynomial erf for fp32 —
         # Mosaic has no native erf lowering)
-        from .kernel_gelu import kernel_gelu
-        hmid = kernel_gelu(hmid, tanh_form=(cdt == jnp.bfloat16))
+        if "nogelu" not in _ablate():          # profiling-only skip
+            from .kernel_gelu import kernel_gelu
+            hmid = kernel_gelu(hmid, tanh_form=(cdt == jnp.bfloat16))
         out = (jnp.dot(hmid, fc2w_ref[i],
                        preferred_element_type=jnp.float32)
                + fc2b_ref[i].astype(jnp.float32))

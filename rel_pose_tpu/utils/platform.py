@@ -32,4 +32,11 @@ def apply_platform_env():
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    prec = os.environ.get("RELPOSE_MATMUL_PRECISION")
+    if prec:
+        # 'default' | 'high' (bf16x3) | 'highest' (bf16x6/near-fp32):
+        # accuracy/speed of fp32-operand matmuls+convs on TPU (the model's
+        # XLA path passes precision=None, deferring to this config).
+        import jax
+        jax.config.update("jax_default_matmul_precision", prec)
     enable_compilation_cache()

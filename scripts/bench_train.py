@@ -50,12 +50,33 @@ def main():
     intr = jnp.asarray(np.tile(
         np.array([[517.97, 517.97, 320, 240]], np.float32), (batch, 2, 1)))
 
+    mode = os.environ.get("BENCH_MODE", "step")  # step | grad | fwd
+
     @jax.jit
     def loop(state, images, poses, intr):
         def body(_, st):
+            if mode == "fwd":
+                loss, (new_bn, _, _) = loss_fn(
+                    st.params, st.bn_state, images, poses, intr, True)
+                # fold the loss into the FIRST conv's weights so every op
+                # in the next iteration is data-dependent (pos_embed alone
+                # lets XLA hoist the whole conv trunk out of the loop)
+                p = jax.tree.map(lambda x: x, st.params)
+                p["resnet"] = dict(p["resnet"])
+                p["resnet"]["conv1"] = {
+                    "w": p["resnet"]["conv1"]["w"] + 1e-30 * loss}
+                return st.replace(params=p, bn_state=new_bn,
+                                  step=st.step + 1)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (new_bn, _, _)), grads = grad_fn(
                 st.params, st.bn_state, images, poses, intr, True)
+            if mode == "grad":
+                p = jax.tree.map(lambda x: x, st.params)
+                p["resnet"] = dict(p["resnet"])
+                p["resnet"]["conv1"] = {
+                    "w": p["resnet"]["conv1"]["w"] + 1e-30 * loss}
+                return st.replace(params=p, bn_state=new_bn,
+                                  step=st.step + 1)
             updates, new_opt = tx.update(grads, st.opt_state, st.params)
             new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
             return st.replace(params=new_params, bn_state=new_bn,
@@ -72,7 +93,7 @@ def main():
 
     ms = dt / iters * 1000
     print(json.dumps({
-        "metric": "train_step_ms",
+        "metric": "train_" + mode + "_ms",
         "value": round(ms, 2),
         "unit": "ms",
         "dtype": dtype,

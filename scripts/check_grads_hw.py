@@ -31,6 +31,16 @@ def main():
     B = int(os.environ.get("CHECK_BATCH", "4"))
     cfg = ModelConfig(compute_dtype=dtype)
     params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
+    # Condition the comparison: at random init the predicted quaternions sit
+    # near the max(|q|, 0.01) floor (src/model.py:152), where a ~1e-3
+    # forward precision difference (fp32 matmuls are bf16x3/TF32-class on
+    # TPU, like torch-on-Ampere fp32) flips the branch and makes raw grad
+    # diffs meaningless.  Biasing fc3 so quats come out near unit norm puts
+    # the loss in its smooth regime — the regime training actually lives in.
+    fc3_b = np.array(params["pose_regressor"]["fc3"]["b"])
+    fc3_b[6] = 1.0
+    fc3_b[13] = 1.0
+    params["pose_regressor"]["fc3"]["b"] = jnp.asarray(fc3_b)
     loss_fn = make_loss_fn(cfg, 10.0, 10.0, "train")
 
     rng = np.random.default_rng(0)
@@ -61,8 +71,10 @@ def main():
     flat_r = jax.tree.leaves(g_ref)
     worst = []
     for (path, a), b in zip(flat_f, flat_r):
-        denom = np.maximum(np.abs(b), 1e-6)
-        rel = float(np.max(np.abs(a - b) / denom))
+        # scale per-leaf by the leaf's own grad magnitude (a tiny absolute
+        # diff on an all-but-zero leaf is not a relative error)
+        denom = max(float(np.abs(b).max()), 1e-8)
+        rel = float(np.max(np.abs(a - b))) / denom
         absd = float(np.max(np.abs(a - b)))
         worst.append((rel, absd, jax.tree_util.keystr(path)))
     worst.sort(reverse=True)
