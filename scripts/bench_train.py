@@ -71,10 +71,14 @@ def main():
             (loss, (new_bn, _, _)), grads = grad_fn(
                 st.params, st.bn_state, images, poses, intr, True)
             if mode == "grad":
+                # consume EVERY grad leaf so XLA cannot dead-code the
+                # backward (folding only the loss in leaves the whole
+                # grad computation unused -> eliminated)
+                gsum = sum(jnp.sum(g) for g in jax.tree.leaves(grads))
                 p = jax.tree.map(lambda x: x, st.params)
                 p["resnet"] = dict(p["resnet"])
                 p["resnet"]["conv1"] = {
-                    "w": p["resnet"]["conv1"]["w"] + 1e-30 * loss}
+                    "w": p["resnet"]["conv1"]["w"] + 1e-30 * (loss + gsum)}
                 return st.replace(params=p, bn_state=new_bn,
                                   step=st.step + 1)
             updates, new_opt = tx.update(grads, st.opt_state, st.params)

@@ -55,36 +55,68 @@ def main():
     intr = jnp.asarray(np.tile(
         np.array([[517.97, 517.97, 320, 240]], np.float32), (B, 2, 1)))
 
-    def grads():
-        g = jax.jit(jax.grad(
-            lambda p: loss_fn(p, bn_state, images, poses, intr, True)[0]))(
-                params)
-        return jax.tree.map(np.asarray, jax.device_get(g))
+    def grads(no_pallas=False, precision=None):
+        if no_pallas:
+            os.environ["RELPOSE_NO_PALLAS"] = "1"
+        try:
+            if precision:
+                with jax.default_matmul_precision(precision):
+                    g = jax.jit(jax.grad(
+                        lambda p: loss_fn(p, bn_state, images, poses,
+                                          intr, True)[0]))(params)
+            else:
+                g = jax.jit(jax.grad(
+                    lambda p: loss_fn(p, bn_state, images, poses,
+                                      intr, True)[0]))(params)
+            return jax.tree.map(np.asarray, jax.device_get(g))
+        finally:
+            os.environ.pop("RELPOSE_NO_PALLAS", None)
 
     assert "RELPOSE_NO_PALLAS" not in os.environ
     g_fused = grads()
-    os.environ["RELPOSE_NO_PALLAS"] = "1"
-    g_ref = grads()
-    del os.environ["RELPOSE_NO_PALLAS"]
+    # Yardstick triangulation: compare BOTH the fused kernels and the
+    # default-precision XLA path against a 'highest'-precision (bf16x6,
+    # near-exact-fp32 MXU) unfused reference.  On TPU, fp32 matmuls at the
+    # backend default are single-pass-bf16-class, so fused-vs-default alone
+    # cannot distinguish kernel bugs from shared MXU rounding; the fused
+    # path passes if it is no farther from the near-exact reference than
+    # the stock XLA path is (x3 headroom), or under the absolute tol.
+    g_def = grads(no_pallas=True)
+    g_hi = grads(no_pallas=True, precision="highest")
 
-    flat_f = jax.tree_util.tree_leaves_with_path(g_fused)
-    flat_r = jax.tree.leaves(g_ref)
-    worst = []
-    for (path, a), b in zip(flat_f, flat_r):
-        # scale per-leaf by the leaf's own grad magnitude (a tiny absolute
-        # diff on an all-but-zero leaf is not a relative error)
-        denom = max(float(np.abs(b).max()), 1e-8)
-        rel = float(np.max(np.abs(a - b))) / denom
-        absd = float(np.max(np.abs(a - b)))
-        worst.append((rel, absd, jax.tree_util.keystr(path)))
-    worst.sort(reverse=True)
-    print(f"dtype={dtype} batch={B}: top-5 grad diffs (rel, abs, leaf):")
-    for rel, absd, name in worst[:5]:
-        print(f"  rel={rel:9.3e} abs={absd:9.3e}  {name}")
-    max_rel = worst[0][0]
+    names = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_leaves_with_path(g_hi)]
+    ref = jax.tree.leaves(g_hi)
+    gscale = max(float(np.abs(r).max()) for r in ref)
+
+    def rel_diffs(g):
+        out = []
+        for a, b, n in zip(jax.tree.leaves(g), ref, names):
+            # leaves whose true grad is ~0 relative to the global grad
+            # scale (conv biases feeding BatchNorm: mean-subtraction
+            # makes their gradient analytically zero) carry only float
+            # noise — scale them by the global magnitude instead
+            denom = max(float(np.abs(b).max()), 1e-4 * gscale)
+            out.append((float(np.max(np.abs(a - b))) / denom,
+                        float(np.max(np.abs(a - b))), n))
+        out.sort(reverse=True)
+        return out
+
+    w_fused = rel_diffs(g_fused)
+    w_def = rel_diffs(g_def)
+    print(f"dtype={dtype} batch={B}: top-5 diffs vs highest-precision ref")
+    print("  fused Pallas path:")
+    for rel, absd, name in w_fused[:5]:
+        print(f"    rel={rel:9.3e} abs={absd:9.3e}  {name}")
+    print("  unfused default-precision XLA path (noise yardstick):")
+    for rel, absd, name in w_def[:5]:
+        print(f"    rel={rel:9.3e} abs={absd:9.3e}  {name}")
+    max_fused, max_def = w_fused[0][0], w_def[0][0]
     tol = 5e-3 if dtype == "float32" else 5e-2
-    status = "OK" if max_rel < tol else "FAIL"
-    print(f"{status}: max rel diff {max_rel:.3e} (tol {tol})")
+    ok = max_fused < max(3.0 * max_def, tol)
+    status = "OK" if ok else "FAIL"
+    print(f"{status}: fused max rel {max_fused:.3e} vs yardstick "
+          f"{max_def:.3e} (abs tol {tol})")
 
 
 if __name__ == "__main__":
