@@ -175,7 +175,17 @@ def max_pool_2d(x, window=3, stride=2, padding=1):
 
     The init value MUST be the python scalar ``-jnp.inf`` (not a jnp array):
     JAX only recognizes the max-monoid — and can only transpose the op under
-    jit-of-grad — for scalar identity constants."""
+    jit-of-grad — for scalar identity constants.
+
+    Backward note: autodiff lowers to XLA SelectAndScatter (~4.3 ms of the
+    fp32 train step at batch 60, ~3.5x the HBM-traffic floor).  Measured
+    alternatives all lost: interior-pad scatter accumulation 28 ms (9
+    full-res materializations), output-parity planes + interleave 14.6 ms
+    (lane-dim relayouts), candidate-expansion einsum masks 21.7 ms (needs
+    HIGHEST-precision matmuls for bit-exact compares), separable 1-D pools
+    6.8 ms, and a Pallas kernel needs lane-granularity interleaves in NCHW
+    (or ~2 ms of layout transposes in NHWC) that cost more than the gap.
+    """
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 1, window, window),

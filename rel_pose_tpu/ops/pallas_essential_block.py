@@ -122,6 +122,11 @@ def _essential_block_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *,
                 P = er.astype(vb.dtype)
                 vb_n = vb
             else:
+                # Measured-and-rejected: deriving the column softmax from
+                # the row exponentials via a global shift (erw = er *
+                # 2^(mr - max mr), t = colsum) saves this exp2 pass but
+                # adds a full-size multiply — 5,540 vs 5,597 pairs/s on
+                # v5e (exp2 is cheap on the VPU; the extra mul is not).
                 mc = jnp.max(s, axis=0, keepdims=True)
                 ec = jnp.exp2(s - mc)
                 lc = jnp.sum(ec, axis=0, keepdims=True)

@@ -83,8 +83,11 @@ def _ln(x, scale, bias, eps=1e-6):
 
 def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                       projw_ref, projb_ref, ln2s_ref, ln2b_ref,
-                      fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref, *,
+                      fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref, *rest,
                       depth, num_heads, head_dim, seq_per_block):
+    # optional second output: per-block input stash (depth, S, N, C) for
+    # the training backward kernel (drops its forward-recompute pass)
+    xs_ref = rest[0] if rest else None
     S = seq_per_block
     xb = x_ref[...]                                # (S, N, C)
     N, C = xb.shape[-2], xb.shape[-1]
@@ -96,6 +99,8 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
     cdt = x.dtype
 
     for i in range(depth):
+        if xs_ref is not None:
+            xs_ref[i] = x.reshape(S, N, C)
         # ---- attention branch
         y = _ln(x, ln1s_ref[i], ln1b_ref[i]).astype(cdt)
         qkv = (jnp.dot(y, qkvw_ref[i], preferred_element_type=jnp.float32)
@@ -150,7 +155,8 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda g: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _vit_stack_call(x, stacked, depth, num_heads, interpret=False):
+def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
+                    stash=False):
     G, N, C = x.shape
     head_dim = C // num_heads
     # Sequences per grid instance.  S=2 (exact M=1152 MXU tiling) was
@@ -165,24 +171,40 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False):
         arr = stacked[name]
         in_specs.append(_const_spec(arr.shape))
         args.append(arr)
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((G, N, C), x.dtype)]
+    out_specs = [pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if stash:
+        # per-block input activations for the backward kernel: one extra
+        # HBM write of depth x tokens (~1 MB/seq) instead of a full
+        # forward recompute in the backward (~26% of its FLOPs)
+        out_shape.append(
+            jax.ShapeDtypeStruct((depth, G, N, C), x.dtype))
+        out_specs.append(pl.BlockSpec((depth, S, N, C),
+                                      lambda g: (0, g, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         functools.partial(_vit_stack_kernel, depth=depth,
                           num_heads=num_heads, head_dim=head_dim,
                           seq_per_block=S),
-        out_shape=jax.ShapeDtypeStruct((G, N, C), x.dtype),
+        out_shape=out_shape,
         grid=(G // S,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            # the (depth, S, N, C) stash block + double-buffered seq
+            # blocks exceed the 16MB default scoped-vmem limit at fp32
+            vmem_limit_bytes=64 * 1024 * 1024 if stash else None),
         cost_estimate=pl.CostEstimate(
             flops=2 * G * depth * N * (3 * C * C + 2 * N * head_dim
                                        * num_heads + C * C + 8 * C * C),
             transcendentals=G * depth * N * (N + 4 * C),
-            bytes_accessed=2 * G * N * C * x.dtype.itemsize),
+            bytes_accessed=(2 + (depth if stash else 0)) * G * N * C
+            * x.dtype.itemsize),
     )(*args)
+    return tuple(res) if stash else res[0]
 
 
 # -------------------------------------------------------------- reference --
@@ -216,22 +238,24 @@ def _vit_stack_op(x, stacked, depth, num_heads):
 
 
 def _vit_stack_fwd(x, stacked, depth, num_heads):
-    return _vit_stack_call(x, stacked, depth, num_heads), (x, stacked)
+    o, xs = _vit_stack_call(x, stacked, depth, num_heads, stash=True)
+    return o, (xs, stacked)
 
 
 def _vit_stack_bwd(depth, num_heads, res, g):
-    x, stacked = res
+    xs, stacked = res
     if _use_pallas():
-        # single-kernel backward: recompute + VJP of all blocks per sequence
-        # in VMEM, weight grads accumulated across the grid
+        # single-kernel backward: per-block recompute (from the stashed
+        # block inputs) + VJP of all blocks per sequence in VMEM, weight
+        # grads accumulated across the grid
         from .pallas_vit_bwd import vit_stack_bwd_call
-        dx, dstacked = vit_stack_bwd_call(x, g, stacked, depth, num_heads)
+        dx, dstacked = vit_stack_bwd_call(xs, g, stacked, depth, num_heads)
         dstacked = {k: v.astype(stacked[k].dtype)
                     for k, v in dstacked.items()}
         return dx, dstacked
     _, vjp = jax.vjp(
         lambda xx, ss: vit_stack_reference(xx, ss, depth, num_heads),
-        x, stacked)
+        xs[0], stacked)
     dx, dstacked = vjp(g)
     return dx, dstacked
 

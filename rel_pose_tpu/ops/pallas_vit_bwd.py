@@ -4,9 +4,11 @@ The forward megakernel (``pallas_vit``) leaves training backward on the
 unfused path, which pays an HBM round-trip per op during recompute.  This
 kernel computes the FULL VJP of all blocks in one pass per sequence:
 
-  * residuals are just the stack input x0 (flash-style recompute): each
-    block's forward intermediates are rebuilt in VMEM from the stored
-    per-block inputs;
+  * residuals are the per-block INPUT activations ``xs`` stashed by the
+    training-mode forward kernel (one extra HBM write of depth x tokens,
+    ~0.2 ms at batch 60 — vs a full in-kernel forward recompute, which
+    was ~26% of this kernel's FLOPs); each block's remaining forward
+    intermediates are rebuilt in VMEM flash-style from its stashed input;
   * dx flows backwards through LN / matmul / softmax / tanh-GELU chains
     entirely in VMEM;
   * WEIGHT gradients are accumulated ACROSS grid instances into revolving
@@ -86,7 +88,7 @@ def _attn_bwd_head(q, k, v, do, e, l, scale, cdt):
     return dq, dk, dv
 
 
-def _vit_stack_bwd_kernel(x_ref, g_ref,
+def _vit_stack_bwd_kernel(xs_ref, g_ref,
                           ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                           projw_ref, projb_ref, ln2s_ref, ln2b_ref,
                           fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
@@ -104,44 +106,14 @@ def _vit_stack_bwd_kernel(x_ref, g_ref,
                     dfc2w_ref, dfc2b_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    x = x_ref[0]
-    N, C = x.shape
-    cdt = x.dtype
+    N, C = xs_ref.shape[-2], xs_ref.shape[-1]
+    cdt = xs_ref.dtype
     scale = head_dim ** -0.5
 
-    # ---- forward recompute, stashing each block's input
-    xs = []
-    for i in range(depth):
-        xs.append(x)
-        y1, _, _ = _ln_fwd(x, ln1s_ref[i], ln1b_ref[i])
-        y1 = y1.astype(cdt)
-        qkv = (jnp.dot(y1, qkvw_ref[i], preferred_element_type=jnp.float32)
-               + qkvb_ref[i].astype(jnp.float32)).astype(cdt)
-        heads = []
-        for h in range(num_heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
-            k = qkv[:, C + h * head_dim:C + (h + 1) * head_dim]
-            v = qkv[:, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
-            o, _, _ = _attn_fwd_head(q, k, v, scale * _LOG2E, cdt)
-            heads.append(o)
-        attn = jnp.concatenate(heads, axis=-1).astype(cdt)
-        proj = (jnp.dot(attn, projw_ref[i],
-                        preferred_element_type=jnp.float32)
-                + projb_ref[i].astype(jnp.float32))
-        xa = (x.astype(jnp.float32) + proj).astype(cdt)
-        y2, _, _ = _ln_fwd(xa, ln2s_ref[i], ln2b_ref[i])
-        y2 = y2.astype(cdt)
-        h1 = (jnp.dot(y2, fc1w_ref[i], preferred_element_type=jnp.float32)
-              + fc1b_ref[i].astype(jnp.float32))
-        hg = kernel_gelu(h1, tanh_form=(cdt == jnp.bfloat16)).astype(cdt)
-        out = (jnp.dot(hg, fc2w_ref[i], preferred_element_type=jnp.float32)
-               + fc2b_ref[i].astype(jnp.float32))
-        x = (xa.astype(jnp.float32) + out).astype(cdt)
-
-    # ---- backward
+    # ---- backward (block inputs come stashed from the forward kernel)
     dxo = g_ref[0].astype(jnp.float32)
     for i in reversed(range(depth)):
-        x_in = xs[i]
+        x_in = xs_ref[i, 0]
         # recompute block-i forward pieces needed for the VJP
         y1, xhat1, inv1 = _ln_fwd(x_in, ln1s_ref[i], ln1b_ref[i])
         y1 = y1.astype(cdt)
@@ -228,20 +200,25 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda g: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def vit_stack_bwd_call(x, g, stacked, depth, num_heads, interpret=False):
-    """Returns (dx, dstacked-dict) — grads wrt x and every stacked weight."""
-    G, N, C = x.shape
+def vit_stack_bwd_call(xs, g, stacked, depth, num_heads, interpret=False):
+    """Returns (dx, dstacked-dict) — grads wrt the stack input and every
+    stacked weight.  ``xs`` is the (depth, G, N, C) per-block input stash
+    produced by the forward kernel's training mode (``xs[0]`` is the stack
+    input x)."""
+    _, G, N, C = xs.shape
     head_dim = C // num_heads
     seq_spec = pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [seq_spec, seq_spec]
-    args = [x, g]
+    xs_spec = pl.BlockSpec((depth, 1, N, C), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [xs_spec, seq_spec]
+    args = [xs, g]
     names = [n for n, _ in _STACK_FIELDS]
     for n in names:
         in_specs.append(_const_spec(stacked[n].shape))
         args.append(stacked[n])
 
-    out_shapes = [jax.ShapeDtypeStruct((G, N, C), x.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((G, N, C), xs.dtype)]
     out_specs = [seq_spec]
     for n in names:
         out_shapes.append(
@@ -263,10 +240,10 @@ def vit_stack_bwd_call(x, g, stacked, depth, num_heads, interpret=False):
             # has 128MB physical VMEM
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=6 * G * depth * N * (4 * C * C + 2 * N * head_dim
+            flops=4 * G * depth * N * (4 * C * C + 2 * N * head_dim
                                        * num_heads + 8 * C * C),
-            transcendentals=2 * G * depth * N * (N + 4 * C),
-            bytes_accessed=3 * G * N * C * x.dtype.itemsize),
+            transcendentals=G * depth * N * (N + 4 * C),
+            bytes_accessed=(depth + 2) * G * N * C * xs.dtype.itemsize),
     )(*args)
     dx = res[0]
     dstacked = {n: r for n, r in zip(names, res[1:])}

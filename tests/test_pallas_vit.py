@@ -63,7 +63,10 @@ class TestVitStackKernel:
         stacked = stack_block_params(blocks)
         g = jnp.asarray(RNG.standard_normal((2, 64, dim)).astype(np.float32))
 
-        dx, dstacked = _vit_stack_bwd(depth, heads, (x, stacked), g)
+        from rel_pose_tpu.ops.pallas_vit import _vit_stack_call
+        _, xs = _vit_stack_call(x, stacked, depth, heads, interpret=True,
+                                stash=True)
+        dx, dstacked = _vit_stack_bwd(depth, heads, (xs, stacked), g)
         # reference grads via direct autodiff
         def loss(xx, ss):
             return jnp.sum(vit_stack_reference(xx, ss, depth, heads) * g)

@@ -5,10 +5,16 @@ import jax
 import jax.numpy as jnp
 
 from rel_pose_tpu.nn.transformer import vit_block_init
-from rel_pose_tpu.ops.pallas_vit import stack_block_params
+from rel_pose_tpu.ops.pallas_vit import stack_block_params, _vit_stack_call
 from rel_pose_tpu.ops.pallas_vit_bwd import vit_stack_bwd_call
 
 RNG = np.random.default_rng(77)
+
+
+def stash_forward(x, stacked, depth, heads):
+    """(o, xs) from the forward kernel's training mode (interpret)."""
+    return _vit_stack_call(x, stacked, depth, heads, interpret=True,
+                           stash=True)
 
 
 def gelu_policy_reference(x, stacked, depth, num_heads):
@@ -54,9 +60,29 @@ class TestVitStackBackwardKernel:
         g = jnp.asarray(RNG.standard_normal((G, N, dim)).astype(np.float32))
         return x, g, stacked, depth, heads
 
+    def test_stash_forward_matches_reference_prefixes(self):
+        """The training-mode forward must emit o + every block's input."""
+        x, g, stacked, depth, heads = self._setup()
+        o, xs = stash_forward(x, stacked, depth, heads)
+        assert xs.shape == (depth,) + x.shape
+        np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x),
+                                   atol=1e-6)
+        ref = x
+        for i in range(depth):
+            np.testing.assert_allclose(
+                np.asarray(xs[i]), np.asarray(ref), atol=2e-5,
+                err_msg=f"block {i} input")
+            sliced = {k: v[i:i + 1] for k, v in stacked.items()}
+            ref = gelu_policy_reference(ref, sliced, 1, heads)
+        np.testing.assert_allclose(
+            np.asarray(o),
+            np.asarray(gelu_policy_reference(x, stacked, depth, heads)),
+            atol=5e-5)
+
     def test_matches_autodiff(self):
         x, g, stacked, depth, heads = self._setup()
-        dx, dstacked = vit_stack_bwd_call(x, g, stacked, depth, heads,
+        _, xs = stash_forward(x, stacked, depth, heads)
+        dx, dstacked = vit_stack_bwd_call(xs, g, stacked, depth, heads,
                                           interpret=True)
 
         def loss(xx, ss):
@@ -76,9 +102,11 @@ class TestVitStackBackwardKernel:
         x, g, stacked, depth, heads = self._setup(G=2)
         x2 = jnp.concatenate([x, x], axis=0)
         g2 = jnp.concatenate([g, g], axis=0)
-        dx1, dw1 = vit_stack_bwd_call(x, g, stacked, depth, heads,
+        _, xs1 = stash_forward(x, stacked, depth, heads)
+        _, xs2 = stash_forward(x2, stacked, depth, heads)
+        dx1, dw1 = vit_stack_bwd_call(xs1, g, stacked, depth, heads,
                                       interpret=True)
-        dx2, dw2 = vit_stack_bwd_call(x2, g2, stacked, depth, heads,
+        dx2, dw2 = vit_stack_bwd_call(xs2, g2, stacked, depth, heads,
                                       interpret=True)
         np.testing.assert_allclose(np.asarray(dx2[:2]), np.asarray(dx1),
                                    atol=1e-5)
@@ -88,7 +116,8 @@ class TestVitStackBackwardKernel:
     def test_depth_one_production_width(self):
         x, g, stacked, depth, heads = self._setup(depth=1, dim=192, G=1,
                                                   N=128)
-        dx, dstacked = vit_stack_bwd_call(x, g, stacked, depth, heads,
+        _, xs = stash_forward(x, stacked, depth, heads)
+        dx, dstacked = vit_stack_bwd_call(xs, g, stacked, depth, heads,
                                           interpret=True)
 
         def loss(xx, ss):
