@@ -32,7 +32,8 @@ from ..nn.layers import (
 from ..nn.resnet import resnet18_trunk_init, resnet18_trunk_apply
 from ..nn.extractor import residual_block_init, residual_block_apply
 from ..nn.transformer import vit_block_init
-from ..ops.image import preprocess_images, nearest_resize, scale_intrinsics
+from ..ops.image import (IMAGENET_MEAN, IMAGENET_STD, nearest_resize,
+                         scale_intrinsics)
 from ..ops.posenc import quadratic_positional_encoding, l1_positional_encoding
 from ..ops.essential import (
     cross_attention_init, essential_cross_attention, noess_cross_attention,
@@ -135,16 +136,36 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
     # uint8 input is accepted (what image decode actually produces — 4x less
     # host->device + first-read traffic); 0-255 integers are exact in bf16
     # (8 significand bits), so the uint8 path is bitwise-identical.
+    #
+    # The reference's BGR->RGB flip + /255 + ImageNet mean/std
+    # (``src/model.py:115-118``) are FOLDED INTO conv1: with
+    #   y_j = x_j - 255*mean_{2-j}           (x in raw BGR order)
+    #   w'[o, j] = w[o, 2-j] / (255*std_{2-j})
+    # the normalized RGB input the reference convolves is exactly
+    # n_c = y_{2-c}/(255*std_c), so conv_{w'}(y) == conv_w(n) — including
+    # the zero-padding ring, since n == 0 where y == 0.  This removes the
+    # whole normalize pass (one elementwise read+write of the 224x224
+    # batch) from the hot path; only the mean subtraction remains, fused
+    # by XLA into the cast.
     x = images.reshape((B * 2,) + images.shape[2:])
     x = nearest_resize(x, 224)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if x.dtype != dt:
         x = x.astype(dt)
-    x = preprocess_images(x)
+    mean_bgr = jnp.asarray(
+        [255.0 * m for m in IMAGENET_MEAN[::-1]], dt).reshape(3, 1, 1)
+    x = x - mean_bgr
+
+    rp = params["resnet"]
+    w1 = rp["conv1"]["w"]
+    inv_std_bgr = jnp.asarray(
+        [1.0 / (255.0 * s) for s in IMAGENET_STD[::-1]],
+        w1.dtype).reshape(1, 3, 1, 1)
+    rp = dict(rp, conv1=dict(rp["conv1"], w=w1[:, ::-1] * inv_std_bgr))
 
     new_state = {}
     x, new_state["resnet"] = resnet18_trunk_apply(
-        params["resnet"], state["resnet"], x, training)
+        rp, state["resnet"], x, training)
     x, new_state["extractor_final_conv"] = residual_block_apply(
         params["extractor_final_conv"], state["extractor_final_conv"], x,
         training)
