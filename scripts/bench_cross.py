@@ -85,6 +85,63 @@ def _variant_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *, num_heads,
                 preferred_element_type=jnp.float32)
 
 
+def _s_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *, num_heads, head_dim, S):
+    """Production math, S pairs per grid instance (combo interleaving)."""
+    Cl = num_heads * head_dim
+    scale = (head_dim ** -0.5) * _LOG2E
+    for b in range(S):
+        qkv1 = qkv1_ref[b]
+        qkv2 = qkv2_ref[b]
+        pos = pos_ref[b].astype(qkv1.dtype)
+        for direction in range(2):
+            q_src, k_src = (qkv2, qkv1) if direction == 0 else (qkv1, qkv2)
+            for h in range(num_heads):
+                lo = h * head_dim
+                q = q_src[:, lo:lo + head_dim]
+                k = k_src[:, Cl + lo:Cl + lo + head_dim]
+                v_self = k_src[:, 2 * Cl + lo:2 * Cl + lo + head_dim]
+                va = vb = jnp.concatenate([v_self, pos], axis=-1)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                mr = jnp.max(s, axis=1, keepdims=True)
+                er = jnp.exp2(s - mr)
+                lr = jnp.sum(er, axis=1, keepdims=True)
+                mc = jnp.max(s, axis=0, keepdims=True)
+                ec = jnp.exp2(s - mc)
+                lc = jnp.sum(ec, axis=0, keepdims=True)
+                P = (er * ec).astype(vb.dtype)
+                vb_n = (vb.astype(jnp.float32)
+                        / lc.reshape(-1, 1)).astype(vb.dtype)
+                av = jnp.dot(P, vb_n, preferred_element_type=jnp.float32)
+                av = (av / lr).astype(va.dtype)
+                f_ref[b, direction, h] = jax.lax.dot_general(
+                    va, av, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def s_call(qkv1, qkv2, positional, S):
+    e = 70
+    return pl.pallas_call(
+        functools.partial(_s_kernel, num_heads=H, head_dim=64, S=S),
+        out_shape=jax.ShapeDtypeStruct((B, 2, H, e, e), jnp.float32),
+        grid=(B // S,),
+        in_specs=[
+            pl.BlockSpec((S, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, N, 6), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, 2, H, e, e), lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv1, qkv2, positional)
+
+
 def variant_call(qkv1, qkv2, positional, mode):
     e = 70
     return pl.pallas_call(
@@ -124,11 +181,17 @@ def main():
 
     cases = [
         ("current(dual)", run_current),
-        ("single_softmax", run_single),
-        ("mxu_sums", lambda a, b, p: variant_call(a, b, p, "mxu_sums")),
-        ("bf16_mul", lambda a, b, p: variant_call(a, b, p, "bf16_mul")),
+        ("s2", lambda a, b, p: s_call(a, b, p, 2)),
+        ("s4", lambda a, b, p: s_call(a, b, p, 4)),
     ]
+    if os.environ.get("BENCH_ALL"):
+        cases += [
+            ("single_softmax", run_single),
+            ("mxu_sums", lambda a, b, p: variant_call(a, b, p, "mxu_sums")),
+            ("bf16_mul", lambda a, b, p: variant_call(a, b, p, "bf16_mul")),
+        ]
 
+    import sys
     for name, fn in cases:
         @jax.jit
         def loop(a, b, p):
@@ -142,7 +205,7 @@ def main():
         t0 = time.perf_counter()
         float(loop(qkv1, qkv2, pos))
         ms = (time.perf_counter() - t0) / ITERS * 1000
-        print(f"{name:>16}: {ms:8.3f} ms")
+        print(f"{name:>16}: {ms:8.3f} ms"); sys.stdout.flush()
 
 
 if __name__ == "__main__":
