@@ -76,15 +76,14 @@ def essential_cross_attention(params, x1, x2, positional, num_heads,
     B, N, C = x1.shape
 
     # Both directions x all heads computed by ONE fused kernel straight from
-    # the raw qkv projections — head slicing happens in VMEM, so the HBM
-    # relayouts (head transposes + direction concats) disappear entirely.
-    from .pallas_essential_block import fused_essential_block
+    # the token sets — the qkv projection AND head slicing happen in VMEM,
+    # so the (B, N, 3C) qkv tensors and their HBM relayouts (head
+    # transposes + direction concats) disappear entirely.
+    from .pallas_essential_block import fused_essential_block_x
 
-    qkv1 = linear_apply(params["qkv"], x1)   # (B, N, 3C)
-    qkv2 = linear_apply(params["qkv"], x2)
-    f = fused_essential_block(qkv1, qkv2, positional, num_heads,
-                              cross_features=cross_features,
-                              use_single_softmax=use_single_softmax)
+    f = fused_essential_block_x(x1, x2, params["qkv"], positional, num_heads,
+                                cross_features=cross_features,
+                                use_single_softmax=use_single_softmax)
     f = f.astype(x1.dtype)                   # (B, 2, h, e, e)
     e = f.shape[-1]
     fund_1, fund_2 = f[:, 0], f[:, 1]

@@ -87,14 +87,12 @@ def essential_block_reference(qkv1, qkv2, positional, num_heads,
 
 # -------------------------------------------------------------- kernel ----
 
-def _essential_block_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *,
-                            num_heads, head_dim, has_pos, cross_features,
-                            use_single_softmax):
-    qkv1 = qkv1_ref[0]
-    qkv2 = qkv2_ref[0]
+def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
+               cross_features, use_single_softmax):
+    """All 2 directions x num_heads dual-softmax bilinear contractions for
+    one batch element; qkv1/qkv2 are (N, 3C) VMEM arrays."""
     C = num_heads * head_dim
     scale = (head_dim ** -0.5) * _LOG2E
-    pos = pos_ref[0].astype(qkv1.dtype) if has_pos else None
 
     for direction in range(2):
         q_src, k_src = (qkv2, qkv1) if direction == 0 else (qkv1, qkv2)
@@ -140,6 +138,42 @@ def _essential_block_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *,
                 preferred_element_type=jnp.float32)
 
 
+def _essential_block_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *,
+                            num_heads, head_dim, has_pos, cross_features,
+                            use_single_softmax):
+    qkv1 = qkv1_ref[0]
+    qkv2 = qkv2_ref[0]
+    pos = pos_ref[0].astype(qkv1.dtype) if has_pos else None
+    _eb_combos(qkv1, qkv2, pos, f_ref, num_heads=num_heads,
+               head_dim=head_dim, has_pos=has_pos,
+               cross_features=cross_features,
+               use_single_softmax=use_single_softmax)
+
+
+def _essential_block_x_kernel(x1_ref, x2_ref, qkvw_ref, qkvb_ref, pos_ref,
+                              f_ref, *, num_heads, head_dim, has_pos,
+                              cross_features, use_single_softmax):
+    """qkv-fused variant: token sets in, qkv projection computed in VMEM
+    (the (B, N, 3C) qkv tensors never touch HBM — saves one full write +
+    read of both, ~340 MB at eval batch 256)."""
+    x1 = x1_ref[0]
+    x2 = x2_ref[0]
+    w = qkvw_ref[...]
+    b = qkvb_ref[...].astype(jnp.float32)
+    cdt = x1.dtype
+    # match linear_apply's rounding: fp32-accum matmul rounded to the
+    # compute dtype, then the bias added in that dtype
+    qkv1 = (jnp.dot(x1, w, preferred_element_type=jnp.float32)
+            .astype(cdt) + b.astype(cdt))
+    qkv2 = (jnp.dot(x2, w, preferred_element_type=jnp.float32)
+            .astype(cdt) + b.astype(cdt))
+    pos = pos_ref[0].astype(cdt) if has_pos else None
+    _eb_combos(qkv1, qkv2, pos, f_ref, num_heads=num_heads,
+               head_dim=head_dim, has_pos=has_pos,
+               cross_features=cross_features,
+               use_single_softmax=use_single_softmax)
+
+
 def _essential_block_call(qkv1, qkv2, positional, num_heads, cross_features,
                           use_single_softmax, has_pos, interpret=False):
     B, N, C3 = qkv1.shape
@@ -172,6 +206,47 @@ def _essential_block_call(qkv1, qkv2, positional, num_heads, cross_features,
             transcendentals=B * 4 * num_heads * N * N,
             bytes_accessed=2 * B * N * C3 * qkv1.dtype.itemsize),
     )(qkv1, qkv2, positional)
+
+
+def _essential_block_x_call(x1, x2, w, b, positional, num_heads,
+                            cross_features, use_single_softmax, has_pos,
+                            interpret=False):
+    B, N, C = x1.shape
+    head_dim = C // num_heads
+    e = head_dim + (6 if has_pos else 0)
+    b2 = b.reshape(1, -1)
+    return pl.pallas_call(
+        functools.partial(
+            _essential_block_x_kernel, num_heads=num_heads,
+            head_dim=head_dim, has_pos=has_pos,
+            cross_features=cross_features,
+            use_single_softmax=use_single_softmax),
+        out_shape=jax.ShapeDtypeStruct((B, 2, num_heads, e, e), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, num_heads, e, e),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * (2 * 3 * C * C
+                               + 2 * num_heads * N * (head_dim + 2 * e)),
+            transcendentals=B * 4 * num_heads * N * N,
+            bytes_accessed=2 * B * N * C * x1.dtype.itemsize),
+    )(x1, x2, w, b2, positional)
 
 
 # ------------------------------------------------------------ public op ----
@@ -262,5 +337,89 @@ def fused_essential_block(qkv1, qkv2, positional, num_heads,
         return _essential_block_op(qkv1, qkv2, positional, num_heads,
                                    cross_features, use_single_softmax,
                                    has_pos)
+    return essential_block_reference(qkv1, qkv2, positional, num_heads,
+                                     cross_features, use_single_softmax)
+
+
+# ------------------------------------------------- qkv-fused public op ----
+
+def _linear_rounded(x, w, b):
+    """linear_apply's arithmetic: fp32-accum matmul rounded to x.dtype,
+    bias added in x.dtype (``nn/layers.py:46-50``)."""
+    y = jnp.dot(x, w.astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + b.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _essential_block_x_op(x1, x2, w, b, positional, num_heads,
+                          cross_features, use_single_softmax, has_pos):
+    return _essential_block_x_call(x1, x2, w.astype(x1.dtype), b, positional,
+                                   num_heads, cross_features,
+                                   use_single_softmax, has_pos)
+
+
+def _ebx_fwd(x1, x2, w, b, positional, num_heads, cross_features,
+             use_single_softmax, has_pos):
+    out = _essential_block_x_call(x1, x2, w.astype(x1.dtype), b, positional,
+                                  num_heads, cross_features,
+                                  use_single_softmax, has_pos)
+    return out, (x1, x2, w, b, positional)
+
+
+def _ebx_bwd(num_heads, cross_features, use_single_softmax, has_pos, res, g):
+    x1, x2, w, b, positional = res
+    # recompute the (cheap) qkv projections, run the fused block backward,
+    # then chain dqkv through the linear by hand
+    qkv1 = _linear_rounded(x1, w, b)
+    qkv2 = _linear_rounded(x2, w, b)
+    if _use_pallas():
+        from .pallas_essential_block_bwd import essential_block_bwd_call
+        dqkv1, dqkv2, dpos = essential_block_bwd_call(
+            qkv1, qkv2, positional, g.astype(jnp.float32), num_heads,
+            cross_features, use_single_softmax, has_pos)
+    else:
+        _, vjp = jax.vjp(
+            lambda a, c, p: _head_stacked_impl(
+                a, c, p, num_heads, cross_features, use_single_softmax,
+                has_pos),
+            qkv1, qkv2, positional)
+        dqkv1, dqkv2, dpos = vjp(g)
+    wt = w.astype(x1.dtype)
+    dx1 = jnp.dot(dqkv1.astype(x1.dtype), wt.T,
+                  preferred_element_type=jnp.float32).astype(x1.dtype)
+    dx2 = jnp.dot(dqkv2.astype(x1.dtype), wt.T,
+                  preferred_element_type=jnp.float32).astype(x1.dtype)
+    dw = (jnp.einsum("bnc,bnk->ck", x1, dqkv1.astype(x1.dtype),
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bnc,bnk->ck", x2, dqkv2.astype(x1.dtype),
+                       preferred_element_type=jnp.float32)).astype(w.dtype)
+    db = (jnp.sum(dqkv1, axis=(0, 1)).astype(jnp.float32)
+          + jnp.sum(dqkv2, axis=(0, 1)).astype(jnp.float32)).astype(b.dtype)
+    return dx1, dx2, dw, db, dpos
+
+
+_essential_block_x_op.defvjp(_ebx_fwd, _ebx_bwd)
+
+
+def fused_essential_block_x(x1, x2, qkv_params, positional, num_heads,
+                            cross_features=False, use_single_softmax=False):
+    """qkv-fused essential block: pre-normed token sets ``(B, N, C)`` x2 +
+    the shared qkv Linear params in, ``(B, 2, h, e, e)`` fp32 moment
+    matrices out.  On TPU the qkv projection happens inside the Pallas
+    kernel, so the (B, N, 3C) qkv tensors never round-trip HBM; other
+    backends compose ``linear_apply`` + the einsum reference."""
+    w, b = qkv_params["w"], qkv_params["b"]
+    has_pos = positional is not None
+    if _use_pallas():
+        if positional is None:
+            positional = jnp.zeros(x1.shape[:2] + (6,), x1.dtype)
+        else:
+            positional = positional.astype(x1.dtype)
+        return _essential_block_x_op(x1, x2, w, b, positional, num_heads,
+                                     cross_features, use_single_softmax,
+                                     has_pos)
+    qkv1 = _linear_rounded(x1, w, b)
+    qkv2 = _linear_rounded(x2, w, b)
     return essential_block_reference(qkv1, qkv2, positional, num_heads,
                                      cross_features, use_single_softmax)

@@ -87,3 +87,76 @@ class TestEssentialBlockKernel:
         np.testing.assert_allclose(np.asarray(dq1), np.asarray(r1), atol=1e-5)
         np.testing.assert_allclose(np.asarray(dq2), np.asarray(r2), atol=1e-5)
         np.testing.assert_allclose(np.asarray(dp), np.asarray(rp), atol=1e-5)
+
+
+class TestEssentialBlockXOp:
+    """qkv-fused (token-level) variant: projection inside the kernel."""
+
+    def _params(self):
+        C = H * D
+        w = _rand(C, 3 * C) * 0.2
+        b = _rand(3 * C) * 0.1
+        return {"w": w, "b": b}
+
+    def _ref(self, p, x1, x2, positional, cross=False, single=False):
+        qkv1 = jnp.dot(x1, p["w"]) + p["b"]
+        qkv2 = jnp.dot(x2, p["w"]) + p["b"]
+        return essential_block_reference(qkv1, qkv2, positional, H,
+                                         cross_features=cross,
+                                         use_single_softmax=single)
+
+    def test_forward_kernel_matches(self):
+        from rel_pose_tpu.ops.pallas_essential_block import (
+            _essential_block_x_call)
+        C = H * D
+        p = self._params()
+        x1, x2 = _rand(B, N, C), _rand(B, N, C)
+        positional = _rand(B, N, 6)
+        ref = self._ref(p, x1, x2, positional)
+        out = _essential_block_x_call(x1, x2, p["w"], p["b"], positional, H,
+                                      False, False, True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_forward_flag_paths(self):
+        from rel_pose_tpu.ops.pallas_essential_block import (
+            _essential_block_x_call)
+        C = H * D
+        p = self._params()
+        x1, x2 = _rand(B, N, C), _rand(B, N, C)
+        positional = _rand(B, N, 6)
+        for cross, single, pos in [(True, False, True), (False, True, True),
+                                   (False, False, False)]:
+            ref = self._ref(p, x1, x2, positional if pos else None,
+                            cross=cross, single=single)
+            p_arr = positional if pos else jnp.zeros((B, N, 6))
+            out = _essential_block_x_call(x1, x2, p["w"], p["b"], p_arr, H,
+                                          cross, single, pos, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-4,
+                err_msg=f"cross={cross} single={single} pos={pos}")
+
+    def test_backward_matches_autodiff(self):
+        from rel_pose_tpu.ops.pallas_essential_block import _ebx_bwd
+        C = H * D
+        p = self._params()
+        x1, x2 = _rand(B, N, C), _rand(B, N, C)
+        positional = _rand(B, N, 6)
+        g = _rand(B, 2, H, D + 6, D + 6)
+
+        dx1, dx2, dw, db, dp = _ebx_bwd(
+            H, False, False, True, (x1, x2, p["w"], p["b"], positional), g)
+
+        def loss(a, c, w, b, pos):
+            qkv1 = jnp.dot(a, w) + b
+            qkv2 = jnp.dot(c, w) + b
+            return jnp.sum(
+                essential_block_reference(qkv1, qkv2, pos, H) * g)
+
+        r = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            x1, x2, p["w"], p["b"], positional)
+        for got, want, name in [(dx1, r[0], "dx1"), (dx2, r[1], "dx2"),
+                                (dw, r[2], "dw"), (db, r[3], "db"),
+                                (dp, r[4], "dpos")]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-5, err_msg=name)
