@@ -76,6 +76,10 @@ def main():
     parser.add_argument("--batch", type=int, default=16,
                         help="inference batch size (results are identical "
                              "to batch 1; larger = faster on TPU)")
+    parser.add_argument("--decode_workers", type=int, default=0,
+                        help="image-decode threads; 0 = min(8, cpu_count). "
+                             "Decode of chunk k+1 overlaps device compute "
+                             "of chunk k (cv2 releases the GIL)")
     add_model_flags(parser)
     args = parser.parse_args()
 
@@ -113,16 +117,32 @@ def main():
 
     from rel_pose_tpu.ops.image import nearest_resize
     from tqdm import tqdm
+    from concurrent.futures import ThreadPoolExecutor
 
     B = args.batch
-    for start in tqdm(range(0, len(dset), B)):
+    workers = args.decode_workers or min(8, os.cpu_count() or 1)
+
+    decode_ex = ThreadPoolExecutor(max_workers=workers)
+
+    def make_chunk(start):
         chunk = dset[start:start + B]
-        images = np.stack([load_pair(e) for e in chunk])
+        images = np.stack(list(decode_ex.map(load_pair, chunk)))
         # pad ragged final chunk to the full batch: avoids a second XLA
         # compilation for the leftover shape
         pad = B - len(chunk)
         if pad:
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+        return chunk, images
+
+    starts = list(range(0, len(dset), B))
+    # one-chunk lookahead: chunk k+1 decodes on host threads while the
+    # device runs chunk k's forward
+    pipeline = ThreadPoolExecutor(max_workers=1)
+    pending = pipeline.submit(make_chunk, starts[0])
+    for n, start in enumerate(tqdm(starts)):
+        chunk, images = pending.result()
+        if n + 1 < len(starts):
+            pending = pipeline.submit(make_chunk, starts[n + 1])
         images = nearest_resize(jnp.asarray(images), (384, 512))
         intr = jnp.asarray(np.tile(intrinsics[None], (images.shape[0], 1, 1)))
         poses = np.asarray(fwd(params, bn_state, images, intr))[:len(chunk)]

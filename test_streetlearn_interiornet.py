@@ -88,6 +88,8 @@ def main():
     parser.add_argument("--streetlearn_interiornet_type", default="",
                         choices=("", "nooverlap", "T", "nooverlapT"))
     parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--decode_workers", type=int, default=0,
+                        help="image-decode threads; 0 = min(8, cpu_count)")
     add_model_flags(parser)
     args = parser.parse_args()
 
@@ -136,26 +138,43 @@ def main():
     items = sorted(dset.items())[:1000]  # first 1000 pairs (:194)
 
     from tqdm import tqdm
+    from concurrent.futures import ThreadPoolExecutor
 
     B = args.batch
-    for start in tqdm(range(0, len(items), B)):
+    workers = args.decode_workers or min(8, os.cpu_count() or 1)
+    decode_ex = ThreadPoolExecutor(max_workers=workers)
+
+    def load_pair(item):
+        _, rec = item
+        img1 = image_read(os.path.join(args.datapath, "data",
+                                       args.dataset, rec["img1"]["path"]))
+        img2 = image_read(os.path.join(args.datapath, "data",
+                                       args.dataset, rec["img2"]["path"]))
+        return np.stack([img1, img2]).astype(np.float32).transpose(0, 3, 1, 2)
+
+    def make_chunk(start):
         chunk = items[start:start + B]
-        images, gts = [], []
+        images = np.stack(list(decode_ex.map(load_pair, chunk)))
+        pad = B - len(chunk)
+        if pad:  # pad ragged final chunk: avoid an extra XLA compile
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+        return chunk, images
+
+    starts = list(range(0, len(items), B))
+    # one-chunk lookahead: chunk k+1 decodes on host threads while the
+    # device runs chunk k's forward (cv2 releases the GIL)
+    pipeline = ThreadPoolExecutor(max_workers=1)
+    pending = pipeline.submit(make_chunk, starts[0])
+    for n, start in enumerate(tqdm(starts)):
+        chunk, images = pending.result()
+        if n + 1 < len(starts):
+            pending = pipeline.submit(make_chunk, starts[n + 1])
+        gts = []
         for i, rec in chunk:
-            img1 = image_read(os.path.join(args.datapath, "data",
-                                           args.dataset, rec["img1"]["path"]))
-            img2 = image_read(os.path.join(args.datapath, "data",
-                                           args.dataset, rec["img2"]["path"]))
-            images.append(np.stack([img1, img2]).astype(
-                np.float32).transpose(0, 3, 1, 2))
             gt_rmat = np.asarray(relative_rotation_from_viewpoints(
                 rec["img1"]["x"], rec["img1"]["y"],
                 rec["img2"]["x"], rec["img2"]["y"]))
             gts.append(np.asarray(matrix_to_quat(jnp.asarray(gt_rmat))))
-        images = np.stack(images)
-        pad = B - len(chunk)
-        if pad:  # pad ragged final chunk: avoid an extra XLA compile
-            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
         images = jnp.asarray(images)
         intr = jnp.asarray(np.tile(intrinsics[None], (images.shape[0], 1, 1)))
         poses = np.asarray(fwd(params, bn_state, images, intr))[:len(chunk)]
