@@ -70,12 +70,28 @@ def replicated_sharding(mesh):
 
 def shard_batch(mesh, batch):
     """Place a pytree of host arrays with the leading axis sharded over
-    'data'.  The global batch size must divide the mesh size."""
+    'data'.  The global batch size must divide the mesh size.
+
+    Single-process: plain ``device_put``.  Multi-process: each process
+    passes its PROCESS-LOCAL batch slice (what ``data/loader.py``'s
+    per-host sharding already yields) and the global array is assembled
+    with ``make_array_from_process_local_data`` — ``device_put`` to a
+    non-fully-addressable sharding would fail (verified by the 2-process
+    CPU smoke test, ``tests/test_multihost.py``)."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh, tree):
-    """Replicate a pytree across the mesh."""
+    """Replicate a pytree across the mesh.  Multi-process: every process
+    must pass the SAME host values (seeded init guarantees this)."""
     s = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)

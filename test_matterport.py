@@ -113,7 +113,10 @@ def main():
                 args.datapath,
                 "/".join(str(entry[imgnum]["file_name"]).split("/")[6:]))
             imgs.append(image_read(name))
-        return np.stack(imgs).astype(np.float32).transpose(0, 3, 1, 2)
+        # stay uint8 end-to-end: 4x less host->device transfer; the model's
+        # in-graph cast makes the poses bitwise-identical (0-255 integers
+        # are exact in both fp32 and bf16)
+        return np.ascontiguousarray(np.stack(imgs).transpose(0, 3, 1, 2))
 
     from rel_pose_tpu.ops.image import nearest_resize
     from tqdm import tqdm

@@ -150,7 +150,10 @@ def main():
                                        args.dataset, rec["img1"]["path"]))
         img2 = image_read(os.path.join(args.datapath, "data",
                                        args.dataset, rec["img2"]["path"]))
-        return np.stack([img1, img2]).astype(np.float32).transpose(0, 3, 1, 2)
+        # stay uint8 end-to-end: 4x less host->device transfer; the model's
+        # in-graph cast makes the poses bitwise-identical
+        return np.ascontiguousarray(
+            np.stack([img1, img2]).transpose(0, 3, 1, 2))
 
     def make_chunk(start):
         chunk = items[start:start + B]
