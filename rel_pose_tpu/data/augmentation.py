@@ -160,4 +160,11 @@ class RGBDAugmentor:
     def __call__(self, images, poses, intrinsics):
         images = self.color_transform(images)
         images, intrinsics = self.resize(images, intrinsics)
+        # Output uint8: the reference's ColorJitter operates on PIL uint8
+        # images (``augmentation.py:19-24``), so its jittered pixels are
+        # quantized there too; we quantize once after the (order-commuting)
+        # nearest resize.  Also 4x less host->device transfer per train
+        # batch — the model's in-graph cast makes uint8 input bitwise-
+        # identical to feeding the same values as floats.
+        images = np.clip(np.rint(images), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(images), poses, intrinsics

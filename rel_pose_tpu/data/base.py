@@ -2,8 +2,10 @@
 
 Functional equivalent of the reference's ``RGBDDataset``
 (``/root/reference/src/data_readers/base.py``): each sample is
-``(images (2, 3, H, W) float32 BGR 0-255, poses (2, 7), intrinsics (2, 4))``
+``(images (2, 3, H, W) uint8 BGR 0-255, poses (2, 7), intrinsics (2, 4))``
 with pose 0 = identity and pose 1 = the relative pose (W-last quaternion).
+Images are uint8 (the reference's ColorJitter output domain is PIL uint8
+too); the model casts in-graph — 4x less host->device traffic.
 
 Image decode uses cv2 when available (BGR, identical to the reference) and
 falls back to PIL with an RGB->BGR flip.
