@@ -169,10 +169,24 @@ def main():
             num_shards=jax.process_count(), shard_index=jax.process_index())
 
         from tqdm import tqdm
-        for i_batch, (images, poses, intrinsics) in enumerate(tqdm(loader)):
-            batch = shard_batch(mesh, (jnp.asarray(images),
-                                       jnp.asarray(poses),
-                                       jnp.asarray(intrinsics)))
+
+        def device_batches(loader):
+            """One-batch device prefetch: ``jax.device_put`` is async, so
+            issuing batch k+1's host->device copy BEFORE running step k
+            overlaps the transfer with compute (the loader's own worker
+            threads already prefetch the host side)."""
+            prev = None
+            for host in loader:
+                dev = shard_batch(mesh, tuple(jnp.asarray(x) for x in host))
+                if prev is not None:
+                    yield prev
+                prev = (host, dev)
+            if prev is not None:
+                yield prev
+
+        for i_batch, (host_batch, batch) in enumerate(
+                tqdm(device_batches(loader), total=len(loader))):
+            images, poses, intrinsics = host_batch
             if is_training:
                 state, metrics, poses_est = train_step(state, *batch)
                 train_steps += 1
