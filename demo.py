@@ -67,7 +67,9 @@ def main():
     params, bn_state = load_params(args.ckpt, cfg)
 
     images = np.stack([image_read(args.img1), image_read(args.img2)])
-    images = images.astype(np.float32).transpose(0, 3, 1, 2)[None]
+    # uint8 end-to-end (consistent with the eval CLIs): the model casts
+    # in-graph, bitwise-identical to feeding floats
+    images = np.ascontiguousarray(images.transpose(0, 3, 1, 2))[None]
     images = jnp.asarray(images)
     if is_matterport:
         images = nearest_resize(images, (384, 512))
