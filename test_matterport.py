@@ -99,7 +99,23 @@ def main():
     os.makedirs(os.path.join("output", args.exp, output_folder), exist_ok=True)
 
     params, bn_state = load_params(args.ckpt, cfg)
-    fwd = make_forward_fn(cfg)
+
+    # batch-sharded inference over every local chip when the batch divides
+    # the device count (the reference evals on one GPU; DP eval here is
+    # result-identical — eval-mode BN — and tested on the 8-device CPU
+    # mesh, tests/test_parallel_eval.py)
+    import jax
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch % n_dev == 0:
+        from rel_pose_tpu.parallel import make_mesh, replicate, shard_batch
+        mesh = make_mesh()
+        fwd = make_forward_fn(cfg, mesh=mesh)
+        params, bn_state = replicate(mesh, (params, bn_state))
+        place = lambda t: shard_batch(mesh, t)  # noqa: E731
+        print(f"eval sharded over {n_dev} devices")
+    else:
+        fwd = make_forward_fn(cfg)
+        place = lambda t: t  # noqa: E731
 
     intrinsics = np.array([[517.97, 517.97, 320, 240]] * 2, dtype=np.float32)
 
@@ -146,8 +162,9 @@ def main():
         chunk, images = pending.result()
         if n + 1 < len(starts):
             pending = pipeline.submit(make_chunk, starts[n + 1])
-        images = nearest_resize(jnp.asarray(images), (384, 512))
-        intr = jnp.asarray(np.tile(intrinsics[None], (images.shape[0], 1, 1)))
+        intr = np.tile(intrinsics[None], (images.shape[0], 1, 1))
+        images, intr = place((jnp.asarray(images), jnp.asarray(intr)))
+        images = nearest_resize(images, (384, 512))
         poses = np.asarray(fwd(params, bn_state, images, intr))[:len(chunk)]
 
         for i, entry in enumerate(chunk):

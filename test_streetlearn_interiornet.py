@@ -129,7 +129,21 @@ def main():
     os.makedirs(full_output_folder, exist_ok=True)
 
     params, bn_state = load_params(args.ckpt, cfg)
-    fwd = make_forward_fn(cfg)
+
+    # batch-sharded inference over every local chip when possible (see
+    # test_matterport.py; result-identical, tests/test_parallel_eval.py)
+    import jax
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch % n_dev == 0:
+        from rel_pose_tpu.parallel import make_mesh, replicate, shard_batch
+        mesh = make_mesh()
+        fwd = make_forward_fn(cfg, mesh=mesh)
+        params, bn_state = replicate(mesh, (params, bn_state))
+        place = lambda t: shard_batch(mesh, t)  # noqa: E731
+        print(f"eval sharded over {n_dev} devices")
+    else:
+        fwd = make_forward_fn(cfg)
+        place = lambda t: t  # noqa: E731
 
     intrinsics = np.array([[128, 128, 128, 128]] * 2, dtype=np.float32)
     predictions = {"camera": {"preds": {"tran": [], "rot": []},
@@ -178,8 +192,8 @@ def main():
                 rec["img1"]["x"], rec["img1"]["y"],
                 rec["img2"]["x"], rec["img2"]["y"]))
             gts.append(np.asarray(matrix_to_quat(jnp.asarray(gt_rmat))))
-        images = jnp.asarray(images)
-        intr = jnp.asarray(np.tile(intrinsics[None], (images.shape[0], 1, 1)))
+        intr = np.tile(intrinsics[None], (images.shape[0], 1, 1))
+        images, intr = place((jnp.asarray(images), jnp.asarray(intr)))
         poses = np.asarray(fwd(params, bn_state, images, intr))[:len(chunk)]
 
         for i in range(len(chunk)):
