@@ -13,6 +13,14 @@ Protocol: 256x256 input pairs (InteriorNet/StreetLearn eval resolution),
 bf16 compute path, batched jitted forward including in-graph preprocessing
 (BGR flip, ImageNet normalize, nearest resize to 224) — the full eval compute
 except host-side JPEG decode.
+
+Train mode (`BENCH_MODE=train`, VERDICT r2 item 6): full forward + backward
++ Adam at the reference's training resolution (384x512, uint8 batches as the
+loader ships them), `BENCH_DTYPE` float32 (reference trains fp32-only) or
+bfloat16; prints `train_pairs_per_sec_per_chip` with vs_baseline against the
+reference's measured-equivalent 10-GPU global batch rate normalized per
+device (see BASELINE.md).  Same fori_loop carry discipline as eval: the
+optimizer-state carry makes every step data-dependent.
 """
 
 import json
@@ -20,6 +28,72 @@ import os
 import time
 
 import numpy as np
+
+
+def bench_train():
+    batch = int(os.environ.get("BENCH_BATCH", "60"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    from rel_pose_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from rel_pose_tpu.config import ModelConfig
+    from rel_pose_tpu.models import vitess_init
+    from rel_pose_tpu.train import TrainState, make_optimizer
+    from rel_pose_tpu.train.step import make_loss_fn
+
+    cfg = ModelConfig(compute_dtype=dtype)
+    params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer()
+    state = TrainState.create(params, bn_state, tx)
+    loss_fn = make_loss_fn(cfg, 10.0, 10.0, "train")
+
+    rng = np.random.default_rng(0)
+    # uint8 images: the loader/augmentor hand uint8 to the device path
+    images = jnp.asarray(
+        rng.integers(0, 256, (batch, 2, 3, 384, 512), dtype=np.uint8))
+    poses = np.zeros((batch, 2, 7), np.float32)
+    poses[..., 6] = 1.0
+    poses[:, 1, 0] = 0.3
+    poses = jnp.asarray(poses)
+    intr = jnp.asarray(np.tile(
+        np.array([[517.97, 517.97, 320, 240]], np.float32), (batch, 2, 1)))
+
+    @jax.jit
+    def loop(state, images, poses, intr):
+        def body(_, st):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (new_bn, _, _)), grads = grad_fn(
+                st.params, st.bn_state, images, poses, intr, True)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
+            return st.replace(params=new_params, bn_state=new_bn,
+                              opt_state=new_opt, step=st.step + 1)
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    out = loop(state, images, poses, intr)
+    _ = int(jax.device_get(out.step))  # sync after compile+run
+
+    t0 = time.perf_counter()
+    out = loop(out, images, poses, intr)
+    _ = int(jax.device_get(out.step))
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * iters / dt
+    # baseline: reference's 10x GTX-1080Ti DDP global step — no published
+    # number; BASELINE.md's derived ~60 pairs/s/device estimate
+    print(json.dumps({
+        "metric": "train_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "dtype": dtype,
+        "batch": batch,
+        "step_ms": round(dt / iters * 1000, 2),
+        "vs_baseline": round(pairs_per_sec / 60.0, 4),
+    }))
 
 
 def main():
@@ -88,4 +162,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train()
+    else:
+        main()

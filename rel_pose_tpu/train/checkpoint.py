@@ -11,9 +11,13 @@ checkpoint (``most_recent_ckpt.ckpt`` if present, else the
 highest-numbered) is picked up automatically.
 
 The reference's torch ``.pth`` checkpoints load transparently through
-``utils.convert`` (weights only — the torch Adam moments/scheduler are not
-meaningful to optax and are dropped, equivalent to the reference's
-``--ckpt`` warm start path, ``train.py:75-86``).
+``utils.convert``: weights AND torch Adam moments (exp_avg/exp_avg_sq/step)
+are restored — the moments warm-start optax's ``scale_by_adam`` via
+``train.optim.warm_start_adam`` (see ``train.py`` --ckpt handling and
+``tests/test_reference_parity.py``), matching the reference's ``--ckpt`` warm start
+(``train.py:75-86``).  The torch scheduler state is not restored (the
+OneCycle schedule is a pure function of the step count, which starts
+fresh — same as the reference's warm start).
 """
 
 import os

@@ -106,7 +106,12 @@ def main():
     # mesh, tests/test_parallel_eval.py)
     import jax
     n_dev = len(jax.devices())
-    if n_dev > 1 and args.batch % n_dev == 0:
+    # single-process only: with multiple processes every process would feed
+    # the same chunk to shard_batch (which multi-process treats as the
+    # per-process slice -> duplicated global batch) and np.asarray on a
+    # non-fully-addressable array errors out.  Guarded + tested in
+    # tests/test_multihost.py.
+    if n_dev > 1 and args.batch % n_dev == 0 and jax.process_count() == 1:
         from rel_pose_tpu.parallel import make_mesh, replicate, shard_batch
         mesh = make_mesh()
         fwd = make_forward_fn(cfg, mesh=mesh)
@@ -157,7 +162,7 @@ def main():
     # one-chunk lookahead: chunk k+1 decodes on host threads while the
     # device runs chunk k's forward
     pipeline = ThreadPoolExecutor(max_workers=1)
-    pending = pipeline.submit(make_chunk, starts[0])
+    pending = pipeline.submit(make_chunk, starts[0]) if starts else None
     for n, start in enumerate(tqdm(starts)):
         chunk, images = pending.result()
         if n + 1 < len(starts):

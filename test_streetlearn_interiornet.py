@@ -134,7 +134,9 @@ def main():
     # test_matterport.py; result-identical, tests/test_parallel_eval.py)
     import jax
     n_dev = len(jax.devices())
-    if n_dev > 1 and args.batch % n_dev == 0:
+    # single-process only (see test_matterport.py: duplicated global batch +
+    # np.asarray on non-addressable arrays on multi-host pods)
+    if n_dev > 1 and args.batch % n_dev == 0 and jax.process_count() == 1:
         from rel_pose_tpu.parallel import make_mesh, replicate, shard_batch
         mesh = make_mesh()
         fwd = make_forward_fn(cfg, mesh=mesh)
@@ -181,7 +183,7 @@ def main():
     # one-chunk lookahead: chunk k+1 decodes on host threads while the
     # device runs chunk k's forward (cv2 releases the GIL)
     pipeline = ThreadPoolExecutor(max_workers=1)
-    pending = pipeline.submit(make_chunk, starts[0])
+    pending = pipeline.submit(make_chunk, starts[0]) if starts else None
     for n, start in enumerate(tqdm(starts)):
         chunk, images = pending.result()
         if n + 1 < len(starts):

@@ -177,13 +177,46 @@ def main():
             threads already prefetch the host side)."""
             prev = None
             for host in loader:
-                dev = shard_batch(mesh, tuple(jnp.asarray(x) for x in host))
+                # hand the host numpy arrays straight to shard_batch: it
+                # device_puts single-process and uses
+                # make_array_from_process_local_data multi-process; a
+                # jnp.asarray here would force a device->host->device round
+                # trip per batch on multi-host pods
+                dev = shard_batch(mesh, tuple(host))
                 if prev is not None:
                     yield prev
                 prev = (host, dev)
             if prev is not None:
                 yield prev
 
+        def flush_logging(i_batch, metrics, poses_est, poses):
+            """Materialize + log one step's (device) metrics on rank 0."""
+            if jax.process_index() != 0:
+                return
+            host_metrics = {k: float(v) for k, v in metrics.items()
+                            if k != "loss"}
+            if is_training:
+                host_metrics["pairs_per_sec_per_chip"] = \
+                    timer.pairs_per_sec_per_chip
+            logger.push(host_metrics)
+            if i_batch % 20 == 0:
+                np.set_printoptions(suppress=True, linewidth=150)
+                print("\n estimated pose")
+                print(np.asarray(poses_est[0]))
+                print("ground truth pose")
+                print(np.asarray(poses[0]))
+            if (i_batch + 10) % 20 == 0:
+                print("\n metrics:",
+                      {k: float(v) for k, v in metrics.items()}, "\n")
+            if i_batch % 100 == 0:
+                print(f"epoch {epoch_count}\nsubepoch: {subepoch}\n"
+                      f"using {train_val} set")
+
+        # one-step delayed metric materialization: float()ing step k's
+        # metrics right after dispatching step k would drain the device
+        # queue every step; logging them AFTER step k+1 is dispatched keeps
+        # the device busy while the host blocks on step k's values
+        pending_log = None
         for i_batch, (host_batch, batch) in enumerate(
                 tqdm(device_batches(loader), total=len(loader))):
             images, poses, intrinsics = host_batch
@@ -194,25 +227,9 @@ def main():
             else:
                 metrics, poses_est = eval_step(state, *batch)
 
-            if jax.process_index() == 0:
-                host_metrics = {k: float(v) for k, v in metrics.items()
-                                if k != "loss"}
-                if is_training:
-                    host_metrics["pairs_per_sec_per_chip"] = \
-                        timer.pairs_per_sec_per_chip
-                logger.push(host_metrics)
-                if i_batch % 20 == 0:
-                    np.set_printoptions(suppress=True, linewidth=150)
-                    print("\n estimated pose")
-                    print(np.asarray(poses_est[0]))
-                    print("ground truth pose")
-                    print(np.asarray(poses[0]))
-                if (i_batch + 10) % 20 == 0:
-                    print("\n metrics:",
-                          {k: float(v) for k, v in metrics.items()}, "\n")
-                if i_batch % 100 == 0:
-                    print(f"epoch {epoch_count}\nsubepoch: {subepoch}\n"
-                          f"using {train_val} set")
+            if pending_log is not None:
+                flush_logging(*pending_log)
+            pending_log = (i_batch, metrics, poses_est, poses)
 
             if (is_training and train_steps % args.ckpt_every == 0
                     and jax.process_index() == 0):
@@ -225,6 +242,9 @@ def main():
                                     jax.device_get(state))
                 should_keep_training = False
                 break
+
+        if pending_log is not None:
+            flush_logging(*pending_log)
 
         subepoch += 1
         if subepoch == 11 or (subepoch == 10 and args.dataset in
