@@ -31,13 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _use_pallas():
-    if os.environ.get("RELPOSE_NO_PALLAS"):
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+from .runtime import use_pallas as _use_pallas
+from .runtime import interpret_default as _interp
 
 
 # ------------------------------------------------------------ reference ----
@@ -109,6 +104,7 @@ def _spec(N, d):
 
 
 def _fwd_call(q, k, v, scale, interpret=False):
+    interpret = _interp(interpret)
     G, N, d = q.shape
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
@@ -126,6 +122,7 @@ def _fwd_call(q, k, v, scale, interpret=False):
 
 
 def _bwd_call(q, k, v, do, scale, interpret=False):
+    interpret = _interp(interpret)
     G, N, d = q.shape
     shapes = [jax.ShapeDtypeStruct((G, N, d), q.dtype)] * 3
     return pl.pallas_call(

@@ -32,13 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _use_pallas():
-    if os.environ.get("RELPOSE_NO_PALLAS"):
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+from .runtime import use_pallas as _use_pallas
+from .runtime import interpret_default as _interp
 
 
 # ------------------------------------------------------------ reference ----
@@ -156,6 +151,7 @@ def _fspec(e):
 
 
 def _fwd_call(q, k, va, vb, scale, single_softmax, interpret=False):
+    interpret = _interp(interpret)
     G, N, d = q.shape
     e = va.shape[-1]
     return pl.pallas_call(
@@ -175,6 +171,7 @@ def _fwd_call(q, k, va, vb, scale, single_softmax, interpret=False):
 
 
 def _bwd_call(q, k, va, vb, df, scale, single_softmax, interpret=False):
+    interpret = _interp(interpret)
     G, N, d = q.shape
     e = va.shape[-1]
     out_shapes = [

@@ -31,13 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634
 
 
-def _use_pallas():
-    if os.environ.get("RELPOSE_NO_PALLAS"):
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+from .runtime import use_pallas as _use_pallas
+from .runtime import interpret_default as _interp
 
 
 # ------------------------------------------------------------ reference ----
@@ -176,6 +171,7 @@ def _essential_block_x_kernel(x1_ref, x2_ref, qkvw_ref, qkvb_ref, pos_ref,
 
 def _essential_block_call(qkv1, qkv2, positional, num_heads, cross_features,
                           use_single_softmax, has_pos, interpret=False):
+    interpret = _interp(interpret)
     B, N, C3 = qkv1.shape
     C = C3 // 3
     head_dim = C // num_heads
@@ -211,6 +207,7 @@ def _essential_block_call(qkv1, qkv2, positional, num_heads, cross_features,
 def _essential_block_x_call(x1, x2, w, b, positional, num_heads,
                             cross_features, use_single_softmax, has_pos,
                             interpret=False):
+    interpret = _interp(interpret)
     B, N, C = x1.shape
     head_dim = C // num_heads
     e = head_dim + (6 if has_pos else 0)

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .runtime import interpret_default as _interp
+
 _LOG2E = 1.4426950408889634
 _LN2 = math.log(2.0)
 
@@ -145,6 +147,7 @@ def _essential_block_bwd_kernel(qkv1_ref, qkv2_ref, pos_ref, df_ref,
 def essential_block_bwd_call(qkv1, qkv2, positional, df, num_heads,
                              cross_features, use_single_softmax, has_pos,
                              interpret=False):
+    interpret = _interp(interpret)
     """Returns (dqkv1, dqkv2, dpositional)."""
     B, N, C3 = qkv1.shape
     C = C3 // 3

@@ -33,13 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = 1.4426950408889634
 
 
-def _use_pallas():
-    if os.environ.get("RELPOSE_NO_PALLAS"):
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+from .runtime import use_pallas as _use_pallas
+from .runtime import interpret_default as _interp
 
 
 def _ablate():
@@ -105,24 +100,34 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         y = _ln(x, ln1s_ref[i], ln1b_ref[i]).astype(cdt)
         qkv = (jnp.dot(y, qkvw_ref[i], preferred_element_type=jnp.float32)
                + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (S*N, 3C)
+        # Attention in three head-batched phases (all QK matmuls, then all
+        # softmaxes, then all AV matmuls) rather than a sequential per-head
+        # chain: head h+1's score matmul is independent of head h's
+        # softmax, so phase-batching gives Mosaic's scheduler adjacent
+        # independent MXU/VPU regions to overlap (the per-head chain
+        # serializes VPU softmax behind each MXU matmul).
         per_seq = []
         for s in range(S):
-            heads = []
+            rows = slice(s * N, (s + 1) * N)
+            scs = []
             for h in range(num_heads):
-                rows = slice(s * N, (s + 1) * N)
                 q = qkv[rows, h * head_dim:(h + 1) * head_dim]
                 k = qkv[rows, C + h * head_dim:C + (h + 1) * head_dim]
-                v = qkv[rows,
-                        2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
-                sc = jax.lax.dot_general(
+                scs.append(jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                if "nosoftmax" in _ablate():   # profiling-only (wrong math)
-                    e, l = sc, 1.0
-                else:
+                    preferred_element_type=jnp.float32) * scale)
+            if "nosoftmax" in _ablate():   # profiling-only (wrong math)
+                els = [(sc, 1.0) for sc in scs]
+            else:
+                els = []
+                for sc in scs:
                     m = jnp.max(sc, axis=1, keepdims=True)
                     e = jnp.exp2(sc - m)
-                    l = jnp.sum(e, axis=1, keepdims=True)
+                    els.append((e, jnp.sum(e, axis=1, keepdims=True)))
+            heads = []
+            for h, (e, l) in enumerate(els):
+                v = qkv[rows,
+                        2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
                 o = jnp.dot(e.astype(cdt), v,
                             preferred_element_type=jnp.float32)
                 heads.append(o / l)
@@ -157,6 +162,7 @@ def _const_spec(shape):
 
 def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
                     stash=False):
+    interpret = _interp(interpret)
     G, N, C = x.shape
     head_dim = C // num_heads
     # Sequences per grid instance.  S=2 (exact M=1152 MXU tiling) was

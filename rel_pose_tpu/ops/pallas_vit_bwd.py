@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .runtime import interpret_default as _interp
+
 from .pallas_vit import _STACK_FIELDS
 from .kernel_gelu import kernel_gelu, kernel_gelu_grad
 
@@ -60,32 +62,68 @@ def _ln_bwd(dy, xhat, inv, scale):
     return dx, dscale, dbias
 
 
-def _attn_fwd_head(q, k, v, scale, cdt):
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp2(s - m)
-    l = jnp.sum(e, axis=1, keepdims=True)
-    o = jnp.dot(e.astype(cdt), v, preferred_element_type=jnp.float32) / l
-    return o, e, l
+def _attn_fwd_heads(qkv, C, num_heads, head_dim, scale, cdt):
+    """All-head attention recompute in three phases (all QK matmuls, then
+    all softmaxes, then all AV matmuls) so Mosaic can overlap head h+1's
+    MXU matmul with head h's VPU softmax — a per-head chain serializes
+    them.  Returns (heads o-list, per-head (q, k, v, e, l) stash)."""
+    qs, ks, vs = [], [], []
+    scs = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, C + h * head_dim:C + (h + 1) * head_dim]
+        v = qkv[:, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+        qs.append(q)
+        ks.append(k)
+        vs.append(v)
+        scs.append(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+    els = []
+    for sc in scs:
+        m = jnp.max(sc, axis=1, keepdims=True)
+        e = jnp.exp2(sc - m)
+        els.append((e, jnp.sum(e, axis=1, keepdims=True)))
+    heads, stash = [], []
+    for h, (e, l) in enumerate(els):
+        o = jnp.dot(e.astype(cdt), vs[h],
+                    preferred_element_type=jnp.float32) / l
+        heads.append(o)
+        stash.append((qs[h], ks[h], vs[h], e, l))
+    return heads, stash
 
 
-def _attn_bwd_head(q, k, v, do, e, l, scale, cdt):
-    """VJP of o = (e @ v)/l with e = exp2(s*scale' - m), s = q k^T."""
-    eb = e.astype(cdt)
-    do_n = (do / l).astype(cdt)
-    dv = jax.lax.dot_general(eb, do_n, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do.astype(cdt), v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    c = jnp.sum(dp * e, axis=1, keepdims=True) / l
-    # d s2 where s2 = s*scale*log2e - m; exp2' = ln2 * exp2
-    ds2 = e * ((dp - c) / l) * math.log(2.0)
-    dsb = (ds2 * (scale * _LOG2E)).astype(cdt)
-    dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    return dq, dk, dv
+def _attn_bwd_heads(dattn, stash, num_heads, head_dim, scale, cdt):
+    """All-head VJP of o = (e @ v)/l, phase-batched like the forward:
+    all dv/dp matmuls, then all VPU softmax-backward chains, then all
+    dq/dk matmuls.  Returns per-head (dq, dk, dv) lists."""
+    dvs, dps = [], []
+    for h in range(num_heads):
+        _, _, v, e, l = stash[h]
+        do = dattn[:, h * head_dim:(h + 1) * head_dim]
+        do_n = (do / l).astype(cdt)
+        dvs.append(jax.lax.dot_general(
+            e.astype(cdt), do_n, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dps.append(jax.lax.dot_general(
+            do.astype(cdt), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dsbs = []
+    for h in range(num_heads):
+        _, _, _, e, l = stash[h]
+        dp = dps[h]
+        c = jnp.sum(dp * e, axis=1, keepdims=True) / l
+        # d s2 where s2 = s*scale*log2e - m; exp2' = ln2 * exp2
+        ds2 = e * ((dp - c) / l) * math.log(2.0)
+        dsbs.append((ds2 * (scale * _LOG2E)).astype(cdt))
+    dqs, dks = [], []
+    for h in range(num_heads):
+        q, k, _, _, _ = stash[h]
+        dqs.append(jnp.dot(dsbs[h], k, preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
+            dsbs[h], q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return dqs, dks, dvs
 
 
 def _vit_stack_bwd_kernel(xs_ref, g_ref,
@@ -119,15 +157,8 @@ def _vit_stack_bwd_kernel(xs_ref, g_ref,
         y1 = y1.astype(cdt)
         qkv = (jnp.dot(y1, qkvw_ref[i], preferred_element_type=jnp.float32)
                + qkvb_ref[i].astype(jnp.float32)).astype(cdt)
-        heads = []
-        stash = []
-        for h in range(num_heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
-            k = qkv[:, C + h * head_dim:C + (h + 1) * head_dim]
-            v = qkv[:, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
-            o, e, l = _attn_fwd_head(q, k, v, scale * _LOG2E, cdt)
-            heads.append(o)
-            stash.append((q, k, v, e, l))
+        heads, stash = _attn_fwd_heads(qkv, C, num_heads, head_dim,
+                                       scale * _LOG2E, cdt)
         attn = jnp.concatenate(heads, axis=-1).astype(cdt)
         proj = (jnp.dot(attn, projw_ref[i],
                         preferred_element_type=jnp.float32)
@@ -170,16 +201,9 @@ def _vit_stack_bwd_kernel(xs_ref, g_ref,
         dprojb_ref[i] += jnp.sum(dproj, axis=0)
         dattn = jnp.dot(dproj_b, projw_ref[i].T,
                         preferred_element_type=jnp.float32)
-        dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
-        for h in range(num_heads):
-            q, k, v, e, l = stash[h]
-            do_h = dattn[:, h * head_dim:(h + 1) * head_dim]
-            dq, dk, dv = _attn_bwd_head(q, k, v, do_h, e, l, scale, cdt)
-            dqkv_parts_q.append(dq)
-            dqkv_parts_k.append(dk)
-            dqkv_parts_v.append(dv)
-        dqkv = jnp.concatenate(
-            dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)  # (N, 3C)
+        dqs, dks, dvs = _attn_bwd_heads(dattn, stash, num_heads,
+                                        head_dim, scale, cdt)
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (N, 3C)
         dqkv_b = dqkv.astype(cdt)
         dqkvw_ref[i] += jax.lax.dot_general(
             y1, dqkv_b, (((0,), (0,)), ((), ())),
@@ -201,6 +225,7 @@ def _const_spec(shape):
 
 
 def vit_stack_bwd_call(xs, g, stacked, depth, num_heads, interpret=False):
+    interpret = _interp(interpret)
     """Returns (dx, dstacked-dict) — grads wrt the stack input and every
     stacked weight.  ``xs`` is the (depth, G, N, C) per-block input stash
     produced by the forward kernel's training mode (``xs[0]`` is the stack

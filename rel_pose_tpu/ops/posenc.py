@@ -27,8 +27,11 @@ import jax.numpy as jnp
 
 
 def _grid_dims(num_patches):
-    if num_patches == 24 * 24:
-        return 24, 24
+    r = round(num_patches ** 0.5)
+    if r * r == num_patches:
+        # any square grid (the production model is 24x24; smaller squares
+        # are used by reduced CI configs)
+        return r, r
     if num_patches == 48 * 64:
         return 48, 64
     raise ValueError(

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from rel_pose_tpu.config import ModelConfig
 from rel_pose_tpu.models import vitess_init
 from rel_pose_tpu.train.step import make_loss_fn
+from rel_pose_tpu.utils.gradcheck import triangulate, report
 
 
 def main():
@@ -84,39 +85,28 @@ def main():
     g_def = grads(no_pallas=True)
     g_hi = grads(no_pallas=True, precision="highest")
 
-    names = [jax.tree_util.keystr(p)
-             for p, _ in jax.tree_util.tree_leaves_with_path(g_hi)]
-    ref = jax.tree.leaves(g_hi)
-    gscale = max(float(np.abs(r).max()) for r in ref)
-
-    def rel_diffs(g):
-        out = []
-        for a, b, n in zip(jax.tree.leaves(g), ref, names):
-            # leaves whose true grad is ~0 relative to the global grad
-            # scale (conv biases feeding BatchNorm: mean-subtraction
-            # makes their gradient analytically zero) carry only float
-            # noise — scale them by the global magnitude instead
-            denom = max(float(np.abs(b).max()), 1e-4 * gscale)
-            out.append((float(np.max(np.abs(a - b))) / denom,
-                        float(np.max(np.abs(a - b))), n))
-        out.sort(reverse=True)
-        return out
-
-    w_fused = rel_diffs(g_fused)
-    w_def = rel_diffs(g_def)
-    print(f"dtype={dtype} batch={B}: top-5 diffs vs highest-precision ref")
-    print("  fused Pallas path:")
-    for rel, absd, name in w_fused[:5]:
-        print(f"    rel={rel:9.3e} abs={absd:9.3e}  {name}")
-    print("  unfused default-precision XLA path (noise yardstick):")
-    for rel, absd, name in w_def[:5]:
-        print(f"    rel={rel:9.3e} abs={absd:9.3e}  {name}")
-    max_fused, max_def = w_fused[0][0], w_def[0][0]
-    tol = 5e-3 if dtype == "float32" else 5e-2
-    ok = max_fused < max(3.0 * max_def, tol)
+    # Per-leaf triangulation (norm-weighted rel + cosine, gated against
+    # the SAME leaf's stock-XLA error — see utils/gradcheck.py for why
+    # max-over-leaves was too blunt): a transcription bug perturbs
+    # specific leaves far beyond the rounding noise stock XLA shows on
+    # those exact leaves, which a global max cannot see.
+    if dtype == "float32":
+        normrel_tol, cos_min = 5e-3, 0.999
+    else:
+        normrel_tol, cos_min = 5e-2, 0.99
+    ok, failures, fused_rows, stock_rows = triangulate(
+        g_fused, g_def, g_hi,
+        headroom=3.0, normrel_tol=normrel_tol, cos_min=cos_min)
+    print(f"dtype={dtype} batch={B}: per-leaf triangulation vs "
+          f"highest-precision ref")
+    report("fused Pallas path", fused_rows)
+    report("unfused default-precision XLA path (noise yardstick)",
+           stock_rows)
     status = "OK" if ok else "FAIL"
-    print(f"{status}: fused max rel {max_fused:.3e} vs yardstick "
-          f"{max_def:.3e} (abs tol {tol})")
+    print(f"{status}: gates normrel<=max(3x stock same-leaf, "
+          f"{normrel_tol}) and cos>={cos_min} on every leaf")
+    for f in failures:
+        print(f"  FAILED {f}")
 
 
 if __name__ == "__main__":
