@@ -65,8 +65,16 @@ def triangulate(g_fused, g_stock, g_ref, *, headroom=3.0, normrel_tol,
 
     A leaf passes iff
       normrel_fused <= max(headroom * normrel_stock_same_leaf, normrel_tol)
-    and (unless the reference norm is negligible)
-      cosine_fused >= cos_min.
+    and (unless the reference norm is negligible) the cosine DEFICIT
+    triangulates the same way:
+      1 - cosine_fused <= max(headroom * (1 - cosine_stock), 1 - cos_min).
+
+    The cosine gate must be relative too: on TPU the default-precision
+    fp32 MXU (single-pass-bf16-class) already puts STOCK XLA at cosine
+    ~0.96 vs the near-exact reference on cancellation-dominated BN leaves
+    — an absolute floor there would fail every path including the
+    yardstick.  On CPU (exact fp32) the stock deficit is ~0, so the
+    absolute ``cos_min`` floor is what actually gates.
 
     Returns (ok, failures, fused_rows, stock_rows); rows are sorted by
     fused normrel descending for reporting.
@@ -74,13 +82,15 @@ def triangulate(g_fused, g_stock, g_ref, *, headroom=3.0, normrel_tol,
     fused = leaf_metrics(g_fused, g_ref, zero_floor)
     stock = leaf_metrics(g_stock, g_ref, zero_floor)
     failures = []
-    for (n, nr_f, cos_f, negl), (_, nr_s, _, _) in zip(fused, stock):
+    for (n, nr_f, cos_f, negl), (_, nr_s, cos_s, _) in zip(fused, stock):
         gate = max(headroom * nr_s, normrel_tol)
         if nr_f > gate:
             failures.append(f"{n}: normrel {nr_f:.3e} > gate {gate:.3e} "
                             f"(stock {nr_s:.3e})")
-        if not negl and cos_f < cos_min:
-            failures.append(f"{n}: cosine {cos_f:.6f} < {cos_min}")
+        cos_gate = max(headroom * (1.0 - cos_s), 1.0 - cos_min)
+        if not negl and (1.0 - cos_f) > cos_gate:
+            failures.append(f"{n}: cosine {cos_f:.6f} deficit > gate "
+                            f"{cos_gate:.3e} (stock cos {cos_s:.6f})")
     order = sorted(range(len(fused)), key=lambda i: -fused[i][1])
     fused_rows = [fused[i] for i in order]
     stock_rows = [stock[i] for i in order]

@@ -41,8 +41,9 @@ def main():
     params, state = vitess_init(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)
+    # uint8, matching what the loader actually ships to the train step
     images = jnp.asarray(
-        rng.uniform(0, 255, (BATCH, 2, 3, 384, 512)).astype(np.float32))
+        rng.integers(0, 256, (BATCH, 2, 3, 384, 512), dtype=np.uint8))
     intr = jnp.asarray(np.tile(
         np.array([[517.97, 517.97, 320, 240]], np.float32), (BATCH, 2, 1)))
 
