@@ -45,11 +45,12 @@ def bench_train():
     from rel_pose_tpu.train import TrainState, make_optimizer
     from rel_pose_tpu.train.step import make_loss_fn
 
+    remat = bool(os.environ.get("BENCH_REMAT"))
     cfg = ModelConfig(compute_dtype=dtype)
     params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer()
     state = TrainState.create(params, bn_state, tx)
-    loss_fn = make_loss_fn(cfg, 10.0, 10.0, "train")
+    loss_fn = make_loss_fn(cfg, 10.0, 10.0, "train", remat=remat)
 
     rng = np.random.default_rng(0)
     # uint8 images: the loader/augmentor hand uint8 to the device path

@@ -89,6 +89,14 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
     C = num_heads * head_dim
     scale = (head_dim ** -0.5) * _LOG2E
 
+    # Measured-and-rejected (round 3): phase-batching the 2*h combos like
+    # the ViT kernel's attention (all score matmuls, then all dual-softmax
+    # chains, then all AV+bilinear matmuls) was consistently ~0.4% SLOWER
+    # at eval batch 256 (5,720/5,729 vs 5,740/5,750 pairs/s) and needed a
+    # 64 MB scoped-vmem limit to hold the six staged fp32 score matrices —
+    # this kernel is VPU-bound, and the extra VMEM residency costs more
+    # than the MXU/VPU overlap buys.  Keeping the sequential per-combo
+    # chain.
     for direction in range(2):
         q_src, k_src = (qkv2, qkv1) if direction == 0 else (qkv1, qkv2)
         for h in range(num_heads):

@@ -65,6 +65,28 @@ def main():
         x = images.reshape((BATCH * 2,) + images.shape[2:])
         return nearest_resize(x + c.astype(jnp.uint8), 224)
 
+    # W-axis nearest resize as a one-hot selection MATMUL: minor-dim
+    # slices/gathers relayout (the 8->7 block pattern is not 128-aligned),
+    # but a (256, 224) one-hot matmul runs on the MXU and is exact (one
+    # nonzero per output column -> bf16 sums are exact selections).
+    idx_w = (np.arange(224) * 256) // 224
+    sel_w = np.zeros((256, 224), np.float32)
+    sel_w[idx_w, np.arange(224)] = 1.0
+    sel_w = jnp.asarray(sel_w, dt)
+
+    def pre_matmul_w(c, images):
+        x = images.reshape((BATCH * 2,) + images.shape[2:])
+        x = nearest_resize(x, (224, 256))          # H rows: cheap u8 slice
+        x = x.astype(dt) - (mean_bgr + c)
+        return jax.lax.dot_general(x, sel_w, (((3,), (0,)), ((), ())),
+                                   preferred_element_type=dt)
+
+    def pre_gather_w(c, images):
+        x = images.reshape((BATCH * 2,) + images.shape[2:])
+        x = nearest_resize(x, (224, 256))
+        x = x.astype(dt) - (mean_bgr + c)
+        return jnp.take(x, jnp.asarray(idx_w), axis=3)
+
     def conv_only(c, x):
         p, s = params["resnet"], state["resnet"]
         y, _ = conv_bn_apply(conv1_folded, p["bn1"], s["bn1"], x + c[:1],
@@ -105,6 +127,8 @@ def main():
         ("pre_cast_first", pre_cast_first, images),
         ("pre_noresize(crop)", pre_noresize, images),
         ("pre_resize_only(u8)", pre_resize_only, images),
+        ("pre_matmul_w", pre_matmul_w, images),
+        ("pre_gather_w", pre_gather_w, images),
         ("conv_bn_relu", conv_only, x224),
         ("conv_bn_relu+pool", conv_pool, x224),
         ("pool_only(112)", pool_only, x112),
