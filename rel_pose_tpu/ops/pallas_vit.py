@@ -97,6 +97,12 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         if xs_ref is not None:
             xs_ref[i] = x.reshape(S, N, C)
         # ---- attention branch
+        # Measured-and-rejected (round 3): the same row-split pipelining
+        # that wins for the MLP below LOSES applied to LN -> qkv (5,592
+        # vs 5,749 pairs/s eval batch 256) — the per-head lane slices of
+        # qkv in the attention phases read across the row-concat seam,
+        # and the materialized concat costs more than the LN/matmul
+        # overlap buys.  Kept as one full-width chain.
         y = _ln(x, ln1s_ref[i], ln1b_ref[i]).astype(cdt)
         qkv = (jnp.dot(y, qkvw_ref[i], preferred_element_type=jnp.float32)
                + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (S*N, 3C)
@@ -140,16 +146,32 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
 
         # ---- mlp branch
         y = _ln(x, ln2s_ref[i], ln2b_ref[i]).astype(cdt)
-        hmid = (jnp.dot(y, fc1w_ref[i], preferred_element_type=jnp.float32)
-                + fc1b_ref[i].astype(jnp.float32)).astype(cdt)
-        # per-dtype GELU policy (tanh for bf16, polynomial erf for fp32 —
-        # Mosaic has no native erf lowering)
-        if "nogelu" not in _ablate():          # profiling-only skip
-            from .kernel_gelu import kernel_gelu
-            hmid = kernel_gelu(hmid, tanh_form=(cdt == jnp.bfloat16))
-        out = (jnp.dot(hmid, fc2w_ref[i],
-                       preferred_element_type=jnp.float32)
-               + fc2b_ref[i].astype(jnp.float32))
+        # Row-split software pipelining (same principle as the phase-
+        # batched attention above): the fc1 -> GELU -> fc2 chain
+        # serializes VPU transcendentals between two MXU matmuls, so run
+        # it as independent row-halves — Mosaic can overlap half 1's GELU
+        # with half 0's fc2 matmul.  Halves are sublane-aligned slices;
+        # the concat is a sublane concat (no lane relayout).
+        # measured on v5e eval batch 256: split=2 5,766/5,759 pairs/s vs
+        # split=1 5,736/5,716 and split=3 5,731 — 2 is the optimum
+        mlp_split = int(os.environ.get("RELPOSE_VIT_MLP_SPLIT", "2"))
+        M = S * N
+        splits = mlp_split if mlp_split > 1 and M % mlp_split == 0 else 1
+        outs = []
+        for s0 in range(splits):
+            rows = slice(s0 * (M // splits), (s0 + 1) * (M // splits))
+            hmid = (jnp.dot(y[rows], fc1w_ref[i],
+                            preferred_element_type=jnp.float32)
+                    + fc1b_ref[i].astype(jnp.float32)).astype(cdt)
+            # per-dtype GELU policy (tanh for bf16, polynomial erf for
+            # fp32 — Mosaic has no native erf lowering)
+            if "nogelu" not in _ablate():      # profiling-only skip
+                from .kernel_gelu import kernel_gelu
+                hmid = kernel_gelu(hmid, tanh_form=(cdt == jnp.bfloat16))
+            outs.append(jnp.dot(hmid, fc2w_ref[i],
+                                preferred_element_type=jnp.float32)
+                        + fc2b_ref[i].astype(jnp.float32))
+        out = outs[0] if splits == 1 else jnp.concatenate(outs, axis=0)
         x = (x.astype(jnp.float32) + out).astype(cdt)
 
     o_ref[...] = x.reshape(S, N, C)
