@@ -97,6 +97,15 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
     # this kernel is VPU-bound, and the extra VMEM residency costs more
     # than the MXU/VPU overlap buys.  Keeping the sequential per-combo
     # chain.
+    #
+    # Also measured-and-rejected (round 3): column-block software
+    # pipelining WITHIN a combo (column-softmax stats and the AV
+    # contraction are column-local; row sums accumulate per block, so
+    # block b+1's exp2/mul chain could overlap block b's partial AV
+    # matmul with zero extra VMEM) — 5,742 (2 blocks of 256/320 lanes)
+    # and 5,711 (128-lane blocks) vs 5,760 pairs/s unsplit: Mosaic does
+    # not overlap across the accumulator dependency chain, and the
+    # per-block reduction epilogues add VPU work.
     for direction in range(2):
         q_src, k_src = (qkv2, qkv1) if direction == 0 else (qkv1, qkv2)
         for h in range(num_heads):
