@@ -39,13 +39,32 @@ def warm_start_adam(opt_state, mu, nu, count):
 
 
 def onecycle_schedule(lr, steps, warmup):
-    return optax.cosine_onecycle_schedule(
-        transition_steps=steps,
-        peak_value=lr,
-        pct_start=warmup / steps,
-        div_factor=25.0,
-        final_div_factor=1e4,
-    )
+    """torch-exact OneCycleLR('cos'), NOT optax.cosine_onecycle_schedule.
+
+    torch places the phase boundary at ``pct_start*total_steps - 1`` update
+    indices (peak lr at update ``warmup-1``) and cosine-anneals BOTH phases;
+    optax's version peaks one step later and ramps the warmup linearly.  The
+    drift is ~1e-4 relative at the production 10k/120k schedule, but the
+    N-step trajectory-parity test against torch's own OneCycleLR
+    (``tests/test_reference_parity.py``) resolves it: update k must use
+    exactly torch's lr(k).
+    """
+    init = lr / 25.0
+    final = init / 1e4
+    w_end = float(warmup - 1)          # torch: pct_start * total_steps - 1
+    a_len = float(steps - 1) - w_end
+
+    def sched(count):
+        # half-angle forms (sin^2 / cos^2) instead of (1 -+ cos)/2: the
+        # latter cancels catastrophically in fp32 at the ~1e-8 tail lrs
+        s = jnp.asarray(count, jnp.float32)
+        wp = jnp.clip(s / jnp.maximum(w_end, 1.0), 0.0, 1.0)
+        up = init + (lr - init) * jnp.square(jnp.sin(0.5 * jnp.pi * wp))
+        ap = jnp.clip((s - w_end) / jnp.maximum(a_len, 1.0), 0.0, 1.0)
+        down = final + (lr - final) * jnp.square(jnp.cos(0.5 * jnp.pi * ap))
+        return jnp.where(s <= w_end, up, down)
+
+    return sched
 
 
 def make_optimizer(lr=5e-4, steps=120000, warmup=10000, weight_decay=1e-5,

@@ -33,12 +33,13 @@ class TestSchedule:
             tsched.step()
         ours = np.array([float(sched(i)) for i in range(steps)])
         ref = np.array(torch_lrs)
-        # torch's OneCycleLR phases are off-by-one vs optax (it anneals over
-        # total_steps-1); the curves agree to ~1e-5 absolute everywhere.
-        np.testing.assert_allclose(ours, ref, atol=1e-5)
+        # torch-exact (same phase boundary pct*total-1, cosine both phases):
+        # pointwise-RELATIVE to fp32 trig rounding (torch computes the same
+        # curve in float64; worst tail-lr drift measured 2.8e-5)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4)
         # structural invariants
         np.testing.assert_allclose(ours[0], lr / 25, rtol=1e-4)
-        assert abs(int(np.argmax(ours)) - warmup) <= 1
+        assert int(np.argmax(ours)) == warmup - 1
         np.testing.assert_allclose(ours.max(), lr, rtol=1e-5)
         assert ours[-1] < lr / 25 / 1e3
 
