@@ -137,6 +137,15 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
                 # 2^(mr - max mr), t = colsum) saves this exp2 pass but
                 # adds a full-size multiply — 5,540 vs 5,597 pairs/s on
                 # v5e (exp2 is cheap on the VPU; the extra mul is not).
+                #
+                # Also measured-and-rejected (round 3): single-exp dual
+                # softmax — er*ec = F^2 with F = 2^(s - (mr_i+mc_j)/2)
+                # (F <= 1 since s_ij <= min(mr_i, mc_j)), denominators
+                # recovered as MXU matvecs lr = (F @ 2^(mc/2)) / 2^(mr/2),
+                # lc = (2^(mr/2) @ F) / 2^(mc/2).  Removes one of the two
+                # N^2 exp2 passes, but the fp32 matvecs serialize on the
+                # MXU against the AV matmul and cost more than the saved
+                # VPU pass: 5,697/5,673 vs 5,734 pairs/s (eval batch 256).
                 mc = jnp.max(s, axis=0, keepdims=True)
                 ec = jnp.exp2(s - mc)
                 lc = jnp.sum(ec, axis=0, keepdims=True)

@@ -79,33 +79,28 @@ def _ln(x, scale, bias, eps=1e-6):
 def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                       projw_ref, projb_ref, ln2s_ref, ln2b_ref,
                       fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref, *rest,
-                      depth, num_heads, head_dim, seq_per_block):
+                      depth, num_heads, head_dim, seq_per_block, stagger):
     # optional second output: per-block input stash (depth, S, N, C) for
     # the training backward kernel (drops its forward-recompute pass)
     xs_ref = rest[0] if rest else None
     S = seq_per_block
     xb = x_ref[...]                                # (S, N, C)
     N, C = xb.shape[-2], xb.shape[-1]
-    # All row-wise ops (LN, matmuls vs weights, MLP) run on the (S*N, C)
-    # flattening: S=2 makes M=1152 an exact multiple of the 128-wide MXU
-    # tiles (576 pads to 640 — 10% wasted M on every weight matmul).
-    x = xb.reshape(S * N, C)
     scale = (head_dim ** -0.5) * _LOG2E
-    cdt = x.dtype
+    cdt = xb.dtype
 
-    for i in range(depth):
-        if xs_ref is not None:
-            xs_ref[i] = x.reshape(S, N, C)
-        # ---- attention branch
+    def attn_stage(x, i):
+        # x: (M, C) rows of one stream.
         # Measured-and-rejected (round 3): the same row-split pipelining
         # that wins for the MLP below LOSES applied to LN -> qkv (5,592
         # vs 5,749 pairs/s eval batch 256) — the per-head lane slices of
         # qkv in the attention phases read across the row-concat seam,
         # and the materialized concat costs more than the LN/matmul
         # overlap buys.  Kept as one full-width chain.
+        M = x.shape[0]
         y = _ln(x, ln1s_ref[i], ln1b_ref[i]).astype(cdt)
         qkv = (jnp.dot(y, qkvw_ref[i], preferred_element_type=jnp.float32)
-               + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (S*N, 3C)
+               + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (M, 3C)
         # Attention in three head-batched phases (all QK matmuls, then all
         # softmaxes, then all AV matmuls) rather than a sequential per-head
         # chain: head h+1's score matmul is independent of head h's
@@ -113,7 +108,7 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         # independent MXU/VPU regions to overlap (the per-head chain
         # serializes VPU softmax behind each MXU matmul).
         per_seq = []
-        for s in range(S):
+        for s in range(M // N):
             rows = slice(s * N, (s + 1) * N)
             scs = []
             for h in range(num_heads):
@@ -138,13 +133,14 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                             preferred_element_type=jnp.float32)
                 heads.append(o / l)
             per_seq.append(jnp.concatenate(heads, axis=-1))
-        attn = jnp.concatenate(per_seq, axis=0).astype(cdt)    # (S*N, C)
+        attn = (per_seq[0] if len(per_seq) == 1
+                else jnp.concatenate(per_seq, axis=0)).astype(cdt)
         attn = (jnp.dot(attn, projw_ref[i],
                         preferred_element_type=jnp.float32)
                 + projb_ref[i].astype(jnp.float32))
-        x = (x.astype(jnp.float32) + attn).astype(cdt)
+        return (x.astype(jnp.float32) + attn).astype(cdt)
 
-        # ---- mlp branch
+    def mlp_stage(x, i):
         y = _ln(x, ln2s_ref[i], ln2b_ref[i]).astype(cdt)
         # Row-split software pipelining (same principle as the phase-
         # batched attention above): the fc1 -> GELU -> fc2 chain
@@ -155,7 +151,7 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         # measured on v5e eval batch 256: split=2 5,766/5,759 pairs/s vs
         # split=1 5,736/5,716 and split=3 5,731 — 2 is the optimum
         mlp_split = int(os.environ.get("RELPOSE_VIT_MLP_SPLIT", "2"))
-        M = S * N
+        M = x.shape[0]
         splits = mlp_split if mlp_split > 1 and M % mlp_split == 0 else 1
         outs = []
         for s0 in range(splits):
@@ -172,8 +168,39 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                                 preferred_element_type=jnp.float32)
                         + fc2b_ref[i].astype(jnp.float32))
         out = outs[0] if splits == 1 else jnp.concatenate(outs, axis=0)
-        x = (x.astype(jnp.float32) + out).astype(cdt)
+        return (x.astype(jnp.float32) + out).astype(cdt)
 
+    if stagger and S > 1:
+        # Multi-stream stage interleave: keep the S sequences as SEPARATE
+        # (N, C) streams (NOT row-fused — measured-and-rejected above) and
+        # emit each stage for every stream back-to-back.  Adjacent program
+        # regions are then always cross-stream independent, so Mosaic can
+        # overlap stream 0's VPU tail (softmax / GELU / LN) with stream
+        # 1's MXU matmuls at every stage boundary, not just within the
+        # phase-batched attention.
+        #
+        # Measured-and-rejected (round 3, v5e eval batch 256): streams=2
+        # 5,459 vs 5,741 pairs/s default — halving the grid costs more
+        # HBM<->VMEM pipelining than the extra cross-stream overlap buys
+        # (same failure mode as row-fused S=2).  Kept behind
+        # RELPOSE_VIT_STREAMS for larger-VMEM parts.
+        streams = [xb[s] for s in range(S)]
+        for i in range(depth):
+            streams = [attn_stage(x, i) for x in streams]
+            streams = [mlp_stage(x, i) for x in streams]
+        for s in range(S):
+            o_ref[s] = streams[s]
+        return
+
+    # All row-wise ops (LN, matmuls vs weights, MLP) run on the (S*N, C)
+    # flattening: S=2 makes M=1152 an exact multiple of the 128-wide MXU
+    # tiles (576 pads to 640 — 10% wasted M on every weight matmul).
+    x = xb.reshape(S * N, C)
+    for i in range(depth):
+        if xs_ref is not None:
+            xs_ref[i] = x.reshape(S, N, C)
+        x = attn_stage(x, i)
+        x = mlp_stage(x, i)
     o_ref[...] = x.reshape(S, N, C)
 
 
@@ -191,7 +218,12 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
     # measured SLOWER on v5e than S=1 (5378 vs 5600 pairs/s eval at batch
     # 256) — the halved grid costs more pipelining than the 10% M-padding
     # saves.  Kept parametrized; S=1 is the measured optimum.
-    S = 1
+    # RELPOSE_VIT_STREAMS=k (k>1) instead runs k sequences per instance as
+    # SEPARATE stage-interleaved streams (no row fusion) so Mosaic can
+    # overlap one stream's VPU stages with another's MXU matmuls.
+    streams = int(os.environ.get("RELPOSE_VIT_STREAMS", "1"))
+    stagger = streams > 1 and not stash and G % streams == 0
+    S = streams if stagger else 1
     in_specs = [pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [x]
@@ -214,7 +246,7 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
     res = pl.pallas_call(
         functools.partial(_vit_stack_kernel, depth=depth,
                           num_heads=num_heads, head_dim=head_dim,
-                          seq_per_block=S),
+                          seq_per_block=S, stagger=stagger),
         out_shape=out_shape,
         grid=(G // S,),
         in_specs=in_specs,
