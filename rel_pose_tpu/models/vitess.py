@@ -20,6 +20,8 @@ fusion transformer (default), ``--noess`` (plain cross-attention + conv
 pooling head), and the no-fusion-transformer conv pooling baseline.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +35,7 @@ from ..nn.resnet import resnet18_trunk_init, resnet18_trunk_apply
 from ..nn.extractor import residual_block_init, residual_block_apply
 from ..nn.transformer import vit_block_init
 from ..ops.image import (IMAGENET_MEAN, IMAGENET_STD, nearest_resize,
-                         scale_intrinsics)
+                         s2d_nearest_resize, scale_intrinsics)
 from ..ops.posenc import quadratic_positional_encoding, l1_positional_encoding
 from ..ops.essential import (
     cross_attention_init, essential_cross_attention, noess_cross_attention,
@@ -148,13 +150,20 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
     # batch) from the hot path; only the mean subtraction remains, fused
     # by XLA into the cast.
     x = images.reshape((B * 2,) + images.shape[2:])
-    x = nearest_resize(x, 224)
+    # Eval stem: fuse a 2x2 space-to-depth into the resize gather so conv1
+    # runs as the MXU-aligned C_in=12 4x4/s1 phase conv instead of the
+    # emitter-bound C_in=3 7x7/s2 (same arithmetic; ~1.3 ms off the eval
+    # step at batch 256 pairs — see ops/image.s2d_nearest_resize and
+    # nn/resnet.fold_stem_s2d).  Training keeps the plain conv (the
+    # backward through 4 phase gathers is a scatter; not measured to win).
+    s2d = not training and not os.environ.get("RELPOSE_NO_S2D_STEM")
+    x = s2d_nearest_resize(x, 224) if s2d else nearest_resize(x, 224)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if x.dtype != dt:
         x = x.astype(dt)
     mean_bgr = jnp.asarray(
         [255.0 * m for m in IMAGENET_MEAN[::-1]], dt).reshape(3, 1, 1)
-    x = x - mean_bgr
+    x = x - (jnp.tile(mean_bgr, (4, 1, 1)) if s2d else mean_bgr)
 
     rp = params["resnet"]
     w1 = rp["conv1"]["w"]
@@ -165,7 +174,7 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
 
     new_state = {}
     x, new_state["resnet"] = resnet18_trunk_apply(
-        rp, state["resnet"], x, training)
+        rp, state["resnet"], x, training, s2d_stem=s2d)
     x, new_state["extractor_final_conv"] = residual_block_apply(
         params["extractor_final_conv"], state["extractor_final_conv"], x,
         training)

@@ -95,6 +95,38 @@ def nearest_resize(x, size):
     return _axis_nearest_take(x, -1, in_w, out_w)
 
 
+def s2d_nearest_resize(x, size):
+    """Nearest-resize (torch semantics) fused with a 2x2 space-to-depth:
+    ``(..., C, H, W) -> (..., 4C, size/2, size/2)`` where output channel
+    ``(pr*2 + pc)*C + c`` holds the resized image's phase
+    ``resized[c, pr::2, pc::2]``.
+
+    Motivation (eval stem): the 7x7/s2/p3 conv1 at C_in=3 is bound by
+    XLA's small-channel conv emitter, and the round-2 space-to-depth
+    attempt lost 4% end-to-end because the phase relayout was a separate
+    materialized transpose on an odd 115x115 grid.  Here the phase split
+    rides the resize gather itself — four per-phase gathers fused into a
+    channel concat write the phase tensor directly (SAME bytes as the
+    plain resize; measured 1.23 vs 1.31 ms at eval batch 512 images on
+    v5e — the blocked transpose form costs 1.45 and was rejected).  The
+    even 112x112 phase grid then takes a C_in=12 4x4/s1 conv with
+    padding ((2,1),(2,1)) (see ``nn.resnet.fold_stem_s2d``): 3.60 vs
+    4.94 ms for pre+conv1+pool.
+    """
+    if isinstance(size, int):
+        size = (size, size)
+    out_h, out_w = size
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    idx_h = (np.arange(out_h) * in_h) // out_h
+    idx_w = (np.arange(out_w) * in_w) // out_w
+    parts = []
+    for pr in range(2):
+        xr = jnp.take(x, jnp.asarray(idx_h[pr::2]), axis=-2)
+        for pc in range(2):
+            parts.append(jnp.take(xr, jnp.asarray(idx_w[pc::2]), axis=-1))
+    return jnp.concatenate(parts, axis=-3)
+
+
 def preprocess_images(images):
     """BGR 0-255 float images -> normalized RGB tensors.
 

@@ -124,6 +124,22 @@ class TestForward:
         pu, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
         np.testing.assert_array_equal(np.asarray(pu), np.asarray(pf))
 
+    @pytest.mark.parametrize("hw", [(256, 256), (480, 640)])
+    def test_s2d_stem_matches_plain(self, hw, monkeypatch):
+        """The eval space-to-depth stem (phase resize + folded 4x4/s1
+        conv1, nn/resnet.fold_stem_s2d) is the same arithmetic as the
+        plain resize + 7x7/s2 conv1 up to fp accumulation order."""
+        cfg = ModelConfig(transformer_depth=2)
+        params, state = vitess_init(jax.random.PRNGKey(0), cfg)
+        u8 = RNG.integers(0, 256, (2, 2, 3) + hw, dtype=np.uint8)
+        intr = jnp.asarray(np.tile(
+            np.array([[517.97, 517.97, 320, 240]], np.float32), (2, 2, 1)))
+        ps, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
+        monkeypatch.setenv("RELPOSE_NO_S2D_STEM", "1")
+        pp, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pp),
+                                   rtol=0, atol=2e-4)
+
 
 class TestTraining:
     def test_grad_through_loss(self):
