@@ -156,7 +156,8 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
     # step at batch 256 pairs — see ops/image.s2d_nearest_resize and
     # nn/resnet.fold_stem_s2d).  Training keeps the plain conv (the
     # backward through 4 phase gathers is a scatter; not measured to win).
-    s2d = not training and not os.environ.get("RELPOSE_NO_S2D_STEM")
+    s2d = not os.environ.get("RELPOSE_NO_S2D_STEM") and (
+        not training or bool(os.environ.get("RELPOSE_S2D_TRAIN")))
     x = s2d_nearest_resize(x, 224) if s2d else nearest_resize(x, 224)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if x.dtype != dt:

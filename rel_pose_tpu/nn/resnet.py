@@ -23,9 +23,10 @@ from .layers import (
 )
 
 
-def fold_stem_s2d(conv1, bn_params, bn_state, eps=1e-5):
-    """Fold eval-mode BN into conv1 and scatter the 7x7/s2 taps into the
-    2x2-phase 4x4/s1 kernel matching ``ops.image.s2d_nearest_resize``.
+def s2d_scatter_weights(w):
+    """Scatter 7x7/s2 conv taps ``(O, C, 7, 7)`` into the 2x2-phase
+    4x4/s1 kernel ``(O, 4C, 4, 4)`` matching
+    ``ops.image.s2d_nearest_resize``.
 
     Tap geometry: output row ``oh`` reads resized rows ``2*oh + kh - 3``;
     phase ``pr = (kh+1) % 2`` holds rows ``2t + pr``, so the 4-tap phase
@@ -35,15 +36,7 @@ def fold_stem_s2d(conv1, bn_params, bn_state, eps=1e-5):
     the zero-padded ring of the resized image maps exactly to the phase
     conv's own zero padding, so outputs are bit-for-bit the plain
     conv's up to fp accumulation order.
-
-    Returns ``(w2 (O, 4C, 4, 4), bias (O,))`` ready for
-    ``conv2d_apply(..., stride=1, padding=((2, 1), (2, 1)))``.
     """
-    g = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + eps)
-    w = conv1["w"] * g[:, None, None, None]          # (O, C, 7, 7)
-    bias = bn_params["bias"] - bn_state["mean"] * g
-    if "b" in conv1:
-        bias = bias + conv1["b"] * g
     zcol = jnp.zeros(w.shape[:2] + (1, w.shape[3]), w.dtype)
     rows = {0: jnp.concatenate([zcol, w[:, :, 1::2]], axis=2),   # kh odd
             1: w[:, :, 0::2]}                                    # kh even
@@ -55,7 +48,19 @@ def fold_stem_s2d(conv1, bn_params, bn_state, eps=1e-5):
             sub = (jnp.concatenate([zrow, sub[:, :, :, 1::2]], axis=3)
                    if pc == 0 else sub[:, :, :, 0::2])
             parts.append(sub)
-    return jnp.concatenate(parts, axis=1), bias
+    return jnp.concatenate(parts, axis=1)
+
+
+def fold_stem_s2d(conv1, bn_params, bn_state, eps=1e-5):
+    """Fold eval-mode BN into conv1 and scatter into the 2x2-phase kernel
+    (``s2d_scatter_weights``).  Returns ``(w2 (O, 4C, 4, 4), bias (O,))``
+    ready for ``conv2d_apply(..., stride=1, padding=((2, 1), (2, 1)))``."""
+    g = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + eps)
+    w = conv1["w"] * g[:, None, None, None]          # (O, C, 7, 7)
+    bias = bn_params["bias"] - bn_state["mean"] * g
+    if "b" in conv1:
+        bias = bias + conv1["b"] * g
+    return s2d_scatter_weights(w), bias
 
 
 def _basic_block_init(key, in_ch, out_ch, stride, dtype=jnp.float32):
@@ -120,6 +125,18 @@ def resnet18_trunk_apply(params, state, x, training=False, s2d_stem=False):
         y = conv2d_apply({"w": w2, "b": bias}, x, stride=1,
                          padding=((2, 1), (2, 1)))
         new_state["bn1"] = state["bn1"]
+    elif s2d_stem:
+        # training: BN can't fold (batch statistics), but the phase conv
+        # still fixes the C_in=3 emitter bound for BOTH the forward and
+        # the dW backward, and the phase gather has no backward at all
+        # (images are not differentiated).
+        from .layers import batchnorm_apply
+        cp = {"w": s2d_scatter_weights(params["conv1"]["w"])}
+        if "b" in params["conv1"]:
+            cp["b"] = params["conv1"]["b"]
+        y = conv2d_apply(cp, x, stride=1, padding=((2, 1), (2, 1)))
+        y, new_state["bn1"] = batchnorm_apply(params["bn1"], state["bn1"],
+                                              y, training)
     else:
         y, new_state["bn1"] = conv_bn_apply(params["conv1"], params["bn1"],
                                             state["bn1"], x, training,

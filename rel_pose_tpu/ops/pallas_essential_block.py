@@ -150,10 +150,12 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
                 ec = jnp.exp2(s - mc)
                 lc = jnp.sum(ec, axis=0, keepdims=True)
                 P = (er * ec).astype(vb.dtype)
+                # per-row reciprocals broadcast as muls (a full (N, e)
+                # divide costs several VPU ops per element)
                 vb_n = (vb.astype(jnp.float32)
-                        / lc.reshape(-1, 1)).astype(vb.dtype)
+                        * (1.0 / lc).reshape(-1, 1)).astype(vb.dtype)
             av = jnp.dot(P, vb_n, preferred_element_type=jnp.float32)
-            av = (av / lr).astype(va.dtype)
+            av = (av * (1.0 / lr)).astype(va.dtype)
             f_ref[0, direction, h] = jax.lax.dot_general(
                 va, av, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)

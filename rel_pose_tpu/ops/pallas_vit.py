@@ -68,10 +68,18 @@ def stack_block_params(blocks):
 
 # ----------------------------------------------------------------- kernel --
 
-def _ln(x, scale, bias, eps=1e-6):
+def _ln(x, scale, bias, eps=1e-6, single_pass=False):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    if single_pass:
+        # E[x^2] - m^2: both sums accumulate in ONE traversal of x where
+        # the centered form re-reads x after the mean reduction.  The
+        # cancellation error (~1e-5 relative for O(1-10) activations) is
+        # below bf16 output resolution — bf16 compute path only.
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+            - jnp.square(mean)
+    else:
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
@@ -98,7 +106,8 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         # and the materialized concat costs more than the LN/matmul
         # overlap buys.  Kept as one full-width chain.
         M = x.shape[0]
-        y = _ln(x, ln1s_ref[i], ln1b_ref[i]).astype(cdt)
+        y = _ln(x, ln1s_ref[i], ln1b_ref[i],
+                single_pass=(cdt == jnp.bfloat16)).astype(cdt)
         qkv = (jnp.dot(y, qkvw_ref[i], preferred_element_type=jnp.float32)
                + qkvb_ref[i].astype(jnp.float32)).astype(cdt)   # (M, 3C)
         # Attention in three head-batched phases (all QK matmuls, then all
@@ -107,13 +116,22 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         # softmax, so phase-batching gives Mosaic's scheduler adjacent
         # independent MXU/VPU regions to overlap (the per-head chain
         # serializes VPU softmax behind each MXU matmul).
+        # RELPOSE_VIT_ATTN_SPLIT=k additionally splits each phase into k
+        # sublane-aligned row-chunks of the query dim (softmax and AV rows
+        # are independent) for finer MXU/VPU interleave granularity.
+        asplit = int(os.environ.get("RELPOSE_VIT_ATTN_SPLIT", "1"))
         per_seq = []
         for s in range(M // N):
-            rows = slice(s * N, (s + 1) * N)
+            base = s * N
+            chunks = asplit if asplit > 1 and N % asplit == 0 else 1
+            rn = N // chunks
+            combos = [(h, slice(base + c * rn, base + (c + 1) * rn))
+                      for h in range(num_heads) for c in range(chunks)]
             scs = []
-            for h in range(num_heads):
+            for h, rows in combos:
                 q = qkv[rows, h * head_dim:(h + 1) * head_dim]
-                k = qkv[rows, C + h * head_dim:C + (h + 1) * head_dim]
+                k = qkv[base:base + N,
+                        C + h * head_dim:C + (h + 1) * head_dim]
                 scs.append(jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale)
@@ -124,14 +142,19 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                 for sc in scs:
                     m = jnp.max(sc, axis=1, keepdims=True)
                     e = jnp.exp2(sc - m)
-                    els.append((e, jnp.sum(e, axis=1, keepdims=True)))
-            heads = []
-            for h, (e, l) in enumerate(els):
-                v = qkv[rows,
+                    # one reciprocal per ROW, broadcast-multiplied below —
+                    # a full-tensor (N, d) divide costs several VPU ops
+                    # per element where the mul costs one
+                    els.append((e, 1.0 / jnp.sum(e, axis=1, keepdims=True)))
+            outs_h = [[] for _ in range(num_heads)]
+            for (h, _), (e, linv) in zip(combos, els):
+                v = qkv[base:base + N,
                         2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
                 o = jnp.dot(e.astype(cdt), v,
                             preferred_element_type=jnp.float32)
-                heads.append(o / l)
+                outs_h[h].append(o * linv)
+            heads = [hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
+                     for hs in outs_h]
             per_seq.append(jnp.concatenate(heads, axis=-1))
         attn = (per_seq[0] if len(per_seq) == 1
                 else jnp.concatenate(per_seq, axis=0)).astype(cdt)
@@ -141,7 +164,8 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         return (x.astype(jnp.float32) + attn).astype(cdt)
 
     def mlp_stage(x, i):
-        y = _ln(x, ln2s_ref[i], ln2b_ref[i]).astype(cdt)
+        y = _ln(x, ln2s_ref[i], ln2b_ref[i],
+                single_pass=(cdt == jnp.bfloat16)).astype(cdt)
         # Row-split software pipelining (same principle as the phase-
         # batched attention above): the fc1 -> GELU -> fc2 chain
         # serializes VPU transcendentals between two MXU matmuls, so run
