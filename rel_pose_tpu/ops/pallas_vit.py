@@ -135,6 +135,12 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                 scs.append(jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale)
+            # bf16: the softmax row-sum rides the AV matmul as a ones
+            # column appended to v — the (N, 64) output pads to 128 MXU
+            # lanes anyway, so the sum is free on the MXU and the VPU
+            # lane-reduction disappears.  fp32 keeps the exact VPU sum
+            # (bit-compatible with the unfused reference).
+            mxu_sum = cdt == jnp.bfloat16 and "nosoftmax" not in _ablate()
             if "nosoftmax" in _ablate():   # profiling-only (wrong math)
                 els = [(sc, 1.0) for sc in scs]
             else:
@@ -145,13 +151,20 @@ def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                     # one reciprocal per ROW, broadcast-multiplied below —
                     # a full-tensor (N, d) divide costs several VPU ops
                     # per element where the mul costs one
-                    els.append((e, 1.0 / jnp.sum(e, axis=1, keepdims=True)))
+                    els.append((e, None) if mxu_sum else
+                               (e, 1.0 / jnp.sum(e, axis=1, keepdims=True)))
             outs_h = [[] for _ in range(num_heads)]
             for (h, _), (e, linv) in zip(combos, els):
                 v = qkv[base:base + N,
                         2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+                if mxu_sum:
+                    v = jnp.concatenate(
+                        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
                 o = jnp.dot(e.astype(cdt), v,
                             preferred_element_type=jnp.float32)
+                if mxu_sum:
+                    linv = 1.0 / o[:, head_dim:head_dim + 1]
+                    o = o[:, :head_dim]
                 outs_h[h].append(o * linv)
             heads = [hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
                      for hs in outs_h]

@@ -42,8 +42,15 @@ _GELU_C = 0.044715
 def _ln_fwd(x, scale, bias, eps=1e-6):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
+    if x.dtype == jnp.bfloat16:
+        # single-traversal variance (see ops/pallas_vit._ln): E[x^2] and
+        # E[x] accumulate in one pass; cancellation error is below bf16
+        # resolution.  fp32 keeps the centered two-pass form.
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+            - jnp.square(mean)
+    else:
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xc = xf - mean
-    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     xhat = xc * inv
     y = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)

@@ -56,15 +56,29 @@ def main():
     conv1_folded = dict(params["resnet"]["conv1"],
                         w=w1[:, ::-1] * inv_std_bgr)
 
+    # mirrors the model's eval path: s2d phase resize + folded 4x4/s1
+    # phase conv (models/vitess.py s2d gate); set RELPOSE_NO_S2D_STEM=1
+    # to profile the plain resize + 7x7/s2 variant
+    s2d = not os.environ.get("RELPOSE_NO_S2D_STEM")
+
     def pre(mean, images):
+        from rel_pose_tpu.ops.image import s2d_nearest_resize
         x = images.reshape((BATCH * 2,) + images.shape[2:])
-        x = nearest_resize(x, 224)
-        return x.astype(dt) - mean
+        x = s2d_nearest_resize(x, 224) if s2d else nearest_resize(x, 224)
+        m = jnp.tile(mean, (4, 1, 1)) if s2d else mean
+        return x.astype(dt) - m
 
     def stem(mean, x):
         p, s = params["resnet"], state["resnet"]
-        y, _ = conv_bn_apply(conv1_folded, p["bn1"], s["bn1"], x, False,
-                             stride=2, padding=3)
+        if s2d:
+            from rel_pose_tpu.nn.resnet import fold_stem_s2d
+            from rel_pose_tpu.nn.layers import conv2d_apply
+            w2, bias = fold_stem_s2d(conv1_folded, p["bn1"], s["bn1"])
+            y = conv2d_apply({"w": w2, "b": bias}, x, stride=1,
+                             padding=((2, 1), (2, 1)))
+        else:
+            y, _ = conv_bn_apply(conv1_folded, p["bn1"], s["bn1"], x, False,
+                                 stride=2, padding=3)
         y = jax.nn.relu(y)
         return max_pool_2d(y, window=3, stride=2, padding=1)
 
