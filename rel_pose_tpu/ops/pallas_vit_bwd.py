@@ -86,16 +86,27 @@ def _attn_fwd_heads(qkv, C, num_heads, head_dim, scale, cdt):
         scs.append(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale)
+    # bf16: softmax row-sum rides the AV matmul's free 64->128 lane
+    # padding as a ones column on v (see ops/pallas_vit); fp32 keeps the
+    # exact VPU sum.
+    mxu_sum = cdt == jnp.bfloat16
     els = []
     for sc in scs:
         m = jnp.max(sc, axis=1, keepdims=True)
         e = jnp.exp2(sc - m)
-        els.append((e, jnp.sum(e, axis=1, keepdims=True)))
+        els.append((e, None) if mxu_sum else
+                   (e, jnp.sum(e, axis=1, keepdims=True)))
     heads, stash = [], []
     for h, (e, l) in enumerate(els):
-        o = jnp.dot(e.astype(cdt), vs[h],
-                    preferred_element_type=jnp.float32) / l
-        heads.append(o)
+        v = vs[h]
+        if mxu_sum:
+            v = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+        o = jnp.dot(e.astype(cdt), v, preferred_element_type=jnp.float32)
+        if mxu_sum:
+            l = o[:, head_dim:head_dim + 1]
+            o = o[:, :head_dim]
+        heads.append(o * (1.0 / l))
         stash.append((qs[h], ks[h], vs[h], e, l))
     return heads, stash
 

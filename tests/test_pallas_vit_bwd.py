@@ -96,6 +96,35 @@ class TestVitStackBackwardKernel:
                 np.asarray(dstacked[k]), np.asarray(ds_r[k]),
                 atol=5e-4, rtol=1e-3, err_msg=k)
 
+    def test_matches_autodiff_bfloat16(self):
+        """bf16 engages the speed-mode kernel branches (single-pass LN
+        variance, softmax row-sum riding the AV matmul's lane padding);
+        gradients must still track autodiff through the mixed-precision
+        reference to bf16-level accuracy."""
+        x, g, stacked, depth, heads = self._setup()
+        xb = x.astype(jnp.bfloat16)
+        sb = {k: v.astype(jnp.bfloat16) for k, v in stacked.items()}
+        _, xs = stash_forward(xb, sb, depth, heads)
+        dx, dstacked = vit_stack_bwd_call(xs, g, sb, depth, heads,
+                                          interpret=True)
+
+        def loss(xx, ss):
+            out = gelu_policy_reference(xx, ss, depth, heads)
+            return jnp.sum(out.astype(jnp.float32) * g)
+
+        dx_r, ds_r = jax.grad(loss, argnums=(0, 1))(xb, sb)
+
+        def gate(a, b, name):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-30)
+            nrel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+            assert cos > 0.999 and nrel < 5e-2, (name, cos, nrel)
+
+        gate(dx, dx_r, "dx")
+        for k in dstacked:
+            gate(dstacked[k], ds_r[k], k)
+
     def test_grad_accumulation_across_instances(self):
         """Weight grads must be the SUM over all sequences: doubling the
         batch by repeating the sequence doubles dW but not dx."""
