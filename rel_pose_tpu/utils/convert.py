@@ -212,6 +212,47 @@ def convert_torch_state_dict(state_dict, cfg: ModelConfig,
     return params, state
 
 
+def convert_torchvision_resnet18(state_dict, dtype=np.float32):
+    """torchvision ``resnet18`` state_dict -> (trunk_params, trunk_state)
+    for the executed trunk (conv1/bn1/layer1/layer2 only).
+
+    Mirrors the reference's ImageNet-pretrained trunk init
+    (``models.resnet18(pretrained=True)``, ``src/model.py:31``) without
+    needing torchvision in the environment: pass any locally saved
+    resnet18 weights file (the torchvision download
+    ``resnet18-f37072fd.pth`` or a ``torch.save(model.state_dict())``).
+    Unused keys (layer3/layer4/fc — frozen and never executed in the
+    reference, ``train.py:59-64``) are ignored.
+    """
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+    rp = {"conv1": _conv("conv1", bias=False), "bn1": _bn_params("bn1")}
+    rs = {"bn1": _bn_state("bn1")}
+    for layer, blocks in (("layer1", ("layer1_0", "layer1_1")),
+                          ("layer2", ("layer2_0", "layer2_1"))):
+        for i, name in enumerate(blocks):
+            down = layer == "layer2" and i == 0
+            rp[name], rs[name] = _basic_block_maps(f"{layer}.{i}", down)
+    params = _gather(rp, sd, dtype)
+    state = _gather(rs, sd, dtype)
+    for v in state.values():
+        if isinstance(v, dict) and "count" in v:
+            v["count"] = jnp.asarray(_np(v["count"]), jnp.int32).reshape(())
+    return params, state
+
+
+def load_torchvision_resnet18(path, dtype=np.float32):
+    """Load a torchvision resnet18 weights file from disk (state_dict or
+    ``{"model"|"state_dict": ...}`` wrapper) and convert the trunk."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("model", "state_dict"):
+        if isinstance(obj, dict) and key in obj and not hasattr(
+                obj[key], "shape"):
+            obj = obj[key]
+    return convert_torchvision_resnet18(obj, dtype)
+
+
 def _scatter(spec, tree, out):
     if _is_leaf_spec(spec):
         key, tf = spec

@@ -111,3 +111,48 @@ class TestNativeCheckpoints:
             save_checkpoint(checkpoint_path("exp", step, out), {"step": step})
         found = find_resume_checkpoint("exp", out)
         assert found.endswith("020000.ckpt")
+
+
+class TestTorchvisionTrunk:
+    def test_pretrained_trunk_forward_parity(self, tmp_path):
+        """convert_torchvision_resnet18 must reproduce the torch trunk's
+        eval forward (conv1 -> bn -> relu -> maxpool -> layer1 -> layer2)
+        — the reference's models.resnet18(pretrained=True) init path."""
+        from test_reference_parity import _ResNet18
+        from rel_pose_tpu.utils.convert import load_torchvision_resnet18
+        from rel_pose_tpu.nn.resnet import resnet18_trunk_apply
+
+        torch.manual_seed(3)
+        net = _ResNet18().eval()
+        # make BN running stats non-trivial
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+        path = str(tmp_path / "resnet18.pth")
+        torch.save(net.state_dict(), path)
+
+        params, state = load_torchvision_resnet18(path)
+        x = np.random.default_rng(0).standard_normal(
+            (2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            t = net.relu(net.bn1(net.conv1(torch.from_numpy(x))))
+            t = net.maxpool(t)
+            t = net.layer2(net.layer1(t)).numpy()
+        ours, _ = resnet18_trunk_apply(params, state, jnp.asarray(x),
+                                       training=False)
+        np.testing.assert_allclose(np.asarray(ours), t, atol=2e-5)
+
+    def test_wrapper_and_module_prefix(self, tmp_path):
+        from test_reference_parity import _ResNet18
+        from rel_pose_tpu.utils.convert import load_torchvision_resnet18
+        net = _ResNet18()
+        sd = {"module." + k: v for k, v in net.state_dict().items()}
+        path = str(tmp_path / "wrapped.pth")
+        torch.save({"state_dict": sd}, path)
+        params, state = load_torchvision_resnet18(path)
+        np.testing.assert_allclose(
+            np.asarray(params["conv1"]["w"]),
+            net.state_dict()["conv1.weight"].numpy(), atol=0)
+        assert state["bn1"]["count"].dtype == jnp.int32

@@ -48,6 +48,12 @@ def main():
                         help="cap on devices used (script parity; default: "
                              "all local devices)")
     parser.add_argument("--ckpt", help="checkpoint to restore (warm start)")
+    parser.add_argument("--resnet_pretrained",
+                        help="path to torchvision resnet18 weights "
+                             "(ImageNet) to initialize the conv trunk for "
+                             "a fresh run — the reference's "
+                             "models.resnet18(pretrained=True) without "
+                             "needing torchvision/network access")
     parser.add_argument("--name", default="bla", help="name your experiment")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="rematerialize the forward in the backward pass "
@@ -104,6 +110,19 @@ def main():
                                   weight_decay=args.weight_decay,
                                   clip=args.clip)
     state = TrainState.create(params, bn_state, tx)
+
+    # ImageNet-pretrained trunk for fresh runs (reference src/model.py:31);
+    # a restored checkpoint below overrides it, like the reference's
+    # load_state_dict over the pretrained resnet
+    if args.resnet_pretrained:
+        from rel_pose_tpu.utils.convert import load_torchvision_resnet18
+        tp, ts = load_torchvision_resnet18(args.resnet_pretrained)
+        dt = state.params["resnet"]["conv1"]["w"].dtype
+        state = state.replace(
+            params=dict(state.params,
+                        resnet=jax.tree.map(lambda x: x.astype(dt), tp)),
+            bn_state=dict(state.bn_state, resnet=ts))
+        print("initialized conv trunk from", args.resnet_pretrained)
 
     # restore: --ckpt warm start, else auto-resume newest
     resume = find_resume_checkpoint(args.name)
