@@ -124,12 +124,14 @@ class TestForward:
         pu, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
         np.testing.assert_array_equal(np.asarray(pu), np.asarray(pf))
 
-    @pytest.mark.parametrize("hw", [(256, 256), (480, 640)])
-    def test_s2d_stem_matches_plain(self, hw, monkeypatch):
+    @pytest.mark.parametrize("hw,dtype", [((256, 256), "float32"),
+                                          ((480, 640), "float32"),
+                                          ((256, 256), "bfloat16")])
+    def test_s2d_stem_matches_plain(self, hw, dtype, monkeypatch):
         """The eval space-to-depth stem (phase resize + folded 4x4/s1
         conv1, nn/resnet.fold_stem_s2d) is the same arithmetic as the
         plain resize + 7x7/s2 conv1 up to fp accumulation order."""
-        cfg = ModelConfig(transformer_depth=2)
+        cfg = ModelConfig(transformer_depth=2, compute_dtype=dtype)
         params, state = vitess_init(jax.random.PRNGKey(0), cfg)
         u8 = RNG.integers(0, 256, (2, 2, 3) + hw, dtype=np.uint8)
         intr = jnp.asarray(np.tile(
@@ -137,8 +139,9 @@ class TestForward:
         ps, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
         monkeypatch.setenv("RELPOSE_NO_S2D_STEM", "1")
         pp, _ = vitess_forward(params, state, cfg, jnp.asarray(u8), intr)
+        atol = 2e-4 if dtype == "float32" else 5e-2
         np.testing.assert_allclose(np.asarray(ps), np.asarray(pp),
-                                   rtol=0, atol=2e-4)
+                                   rtol=0, atol=atol)
 
 
 class TestTraining:
