@@ -159,12 +159,27 @@ class RGBDAugmentor:
 
     def __call__(self, images, poses, intrinsics):
         images = self.color_transform(images)
-        images, intrinsics = self.resize(images, intrinsics)
         # Output uint8: the reference's ColorJitter operates on PIL uint8
         # images (``augmentation.py:19-24``), so its jittered pixels are
         # quantized there too; we quantize once after the (order-commuting)
         # nearest resize.  Also 4x less host->device transfer per train
         # batch — the model's in-graph cast makes uint8 input bitwise-
         # identical to feeding the same values as floats.
+        from .. import native
+        if native.available() and images.dtype == np.float32 \
+                and images.flags.c_contiguous:
+            # fused nearest-resize + round-half-even + clamp + uint8 in one
+            # threaded C++ pass (the numpy path below is 4 GIL-held passes)
+            sizey, sizex = self.reshape_size
+            in_h, in_w = images.shape[-2], images.shape[-1]
+            intrinsics = intrinsics.copy()
+            intrinsics[:, [0, 2]] *= sizex / in_w
+            intrinsics[:, [1, 3]] *= sizey / in_h
+            out = native.resize_quantize(images, (sizey, sizex))
+            if out is not None:
+                return out, poses, intrinsics
+            intrinsics[:, [0, 2]] /= sizex / in_w      # undo; fall through
+            intrinsics[:, [1, 3]] /= sizey / in_h
+        images, intrinsics = self.resize(images, intrinsics)
         images = np.clip(np.rint(images), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(images), poses, intrinsics

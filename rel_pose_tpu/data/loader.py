@@ -14,6 +14,7 @@ Replaces the reference's torch ``DataLoader`` + ``DistributedSampler``
     async dispatch.
 """
 
+import os
 import queue
 import threading
 
@@ -34,6 +35,12 @@ class DataLoader:
         self.shard_index = shard_index
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # divide the host's cores among the workers' native pipeline calls:
+        # N workers each spawning the library default min(ncpu, 16) threads
+        # oversubscribe the host (measured: 8 workers SLOWER than 1)
+        from .. import native
+        native.set_num_threads(
+            max(1, (os.cpu_count() or 4) // self.num_workers))
 
     def _indices(self):
         n = len(self.dataset)

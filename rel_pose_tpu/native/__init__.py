@@ -49,10 +49,32 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ]
         lib.rp_color_jitter_fused.argtypes = lib.rp_color_jitter.argtypes
+        lib.rp_resize_quantize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
     except Exception:
         _lib = False
     return _lib
+
+
+# Per-call thread budget.  0 = the library's default (min(ncpu, 16)) —
+# right for a single caller, WRONG under a multi-worker DataLoader where
+# N workers x 16 threads oversubscribe the host (measured: 8 workers ran
+# SLOWER end-to-end than one).  The DataLoader calls set_num_threads with
+# its per-worker share.
+_num_threads = 0
+
+
+def set_num_threads(k):
+    global _num_threads
+    _num_threads = max(0, int(k))
+
+
+def _threads(nthreads):
+    return nthreads if nthreads else _num_threads
 
 
 def available():
@@ -72,7 +94,8 @@ def pair_to_chw_resize(images_u8, out_hw, nthreads=0):
     oh, ow = out_hw
     out = np.empty((n, 3, oh, ow), dtype=np.float32)
     lib.rp_pair_to_chw_resize(
-        images_u8.ctypes.data, n, h, w, out.ctypes.data, oh, ow, nthreads)
+        images_u8.ctypes.data, n, h, w, out.ctypes.data, oh, ow,
+        _threads(nthreads))
     return out
 
 
@@ -96,5 +119,23 @@ def color_jitter(images_f32, ops, vals, nthreads=0, fused=True):
     vals_arr = np.asarray(vals, dtype=np.float32)
     fn = lib.rp_color_jitter_fused if fused else lib.rp_color_jitter
     fn(images_f32.ctypes.data, n, h, w,
-       ops_arr.ctypes.data, vals_arr.ctypes.data, len(ops_arr), nthreads)
+       ops_arr.ctypes.data, vals_arr.ctypes.data, len(ops_arr),
+       _threads(nthreads))
     return images_f32
+
+
+def resize_quantize(images_f32, out_hw, nthreads=0):
+    """(n, c, H, W) float32 -> (n, c, OH, OW) uint8: nearest resize (torch
+    floor semantics) + round-half-even + clamp to [0, 255] in one threaded
+    pass (numpy equivalent: fancy-index resize, np.rint, np.clip,
+    astype(uint8) — four GIL-held passes).  Returns None if unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    assert images_f32.dtype == np.float32 and images_f32.flags.c_contiguous
+    n, c, h, w = images_f32.shape
+    oh, ow = out_hw
+    out = np.empty((n, c, oh, ow), dtype=np.uint8)
+    lib.rp_resize_quantize(images_f32.ctypes.data, n, c, h, w,
+                           out.ctypes.data, oh, ow, _threads(nthreads))
+    return out

@@ -361,6 +361,34 @@ void rp_color_jitter_fused(float* data, int n, int h, int w, const int* ops,
   run_stage(ci, n_ops, mean_gray, nullptr);  // contrast + the rest
 }
 
+// in: float32 (n, c, h, w); out: uint8 (n, c, oh, ow).  Nearest resize
+// (torch floor semantics) fused with round-half-even + clamp to [0, 255]
+// (numpy rint/clip/astype(uint8) equivalence) — replaces three GIL-held
+// numpy passes in the augmentor epilogue with one threaded pass.
+void rp_resize_quantize(const float* in, int n, int c, int h, int w,
+                        uint8_t* out, int oh, int ow, int nthreads) {
+  if (nthreads <= 0) nthreads = default_threads();
+  std::vector<int> col_idx(ow);
+  for (int x = 0; x < ow; ++x) col_idx[x] = (int)(((int64_t)x * w) / ow);
+  const int64_t in_plane = (int64_t)h * w;
+  const int64_t out_plane = (int64_t)oh * ow;
+  const int planes = n * c;
+  parallel_rows(planes * oh, nthreads, [&](int lo, int hi) {
+    for (int r = lo; r < hi; ++r) {
+      int pl = r / oh;
+      int y = r % oh;
+      int sy = (int)(((int64_t)y * h) / oh);
+      const float* src = in + pl * in_plane + (int64_t)sy * w;
+      uint8_t* dst = out + pl * out_plane + (int64_t)y * ow;
+      for (int x = 0; x < ow; ++x) {
+        float v = std::nearbyintf(src[col_idx[x]]);
+        v = std::min(255.f, std::max(0.f, v));
+        dst[x] = (uint8_t)v;
+      }
+    }
+  });
+}
+
 int rp_num_threads() { return default_threads(); }
 
 }  // extern "C"

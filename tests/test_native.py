@@ -100,3 +100,44 @@ class TestJitterParity:
         out, _, intr = aug(images, None, np.array([[100., 100, 60, 80]] * 2))
         assert out.shape == (2, 3, 100, 120)
         assert out.min() >= 0 and out.max() <= 255
+
+
+class TestResizeQuantize:
+    def test_matches_numpy_epilogue(self):
+        """native.resize_quantize == the numpy resize + rint + clip +
+        astype(uint8) chain it replaces, bitwise (nearbyintf and np.rint
+        both round half to even)."""
+        x = RNG.uniform(-5, 260, (2, 3, 37, 53)).astype(np.float32)
+        # include exact .5 values to pin the rounding mode
+        x[0, 0, :4, :4] = np.array([[0.5, 1.5, 2.5, 3.5]] * 4,
+                                   dtype=np.float32)
+        x = np.ascontiguousarray(x)
+        got = native.resize_quantize(x, (21, 32))
+        rows = (np.arange(21) * 37) // 21
+        cols = (np.arange(32) * 53) // 32
+        ref = x[..., rows, :][..., cols]
+        ref = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_augmentor_epilogue_matches_fallback(self, monkeypatch):
+        """Full augmentor output: native fused epilogue vs the numpy path
+        (same RNG draws)."""
+        images = np.ascontiguousarray(
+            RNG.uniform(0, 255, (2, 3, 96, 128)).astype(np.float32))
+        intr = np.array([[90., 95, 60, 45]] * 2, np.float32)
+        a1 = RGBDAugmentor((64, 96), rng=np.random.default_rng(9))
+        o1, _, i1 = a1(images.copy(), None, intr.copy())
+        monkeypatch.setenv("RELPOSE_NO_NATIVE", "1")
+        import rel_pose_tpu.native as nat
+        old = nat._lib
+        nat._lib = False
+        try:
+            a2 = RGBDAugmentor((64, 96), rng=np.random.default_rng(9))
+            o2, _, i2 = a2(images.copy(), None, intr.copy())
+        finally:
+            nat._lib = old
+        np.testing.assert_allclose(i1, i2, rtol=1e-6)
+        diff = (o1.astype(np.int16) - o2.astype(np.int16))
+        # jitter math differs by float assoc. at the quantization boundary
+        assert np.mean(np.abs(diff) > 1) < 1e-3
+        assert np.abs(diff).max() <= 2
