@@ -49,6 +49,32 @@ class TestEssentialBlockBwdKernel:
     def test_default(self):
         self._check()
 
+    def test_bfloat16(self):
+        """Speed-mode dtype: kernel gradients must track autodiff through
+        the reference at bf16-level accuracy (cosine/normrel gates)."""
+        qkv1 = _rand(B, N, C3).astype(jnp.bfloat16)
+        qkv2 = _rand(B, N, C3).astype(jnp.bfloat16)
+        positional = _rand(B, N, 6).astype(jnp.bfloat16)
+        e = D + 6
+        df = _rand(B, 2, H, e, e)
+        dq1, dq2, dp = essential_block_bwd_call(
+            qkv1, qkv2, positional, df, H, False, False, has_pos=True,
+            interpret=True)
+
+        def loss(a, b, p):
+            return jnp.sum(essential_block_reference(
+                a, b, p, H, cross_features=False,
+                use_single_softmax=False).astype(jnp.float32) * df)
+
+        refs = jax.grad(loss, argnums=(0, 1, 2))(qkv1, qkv2, positional)
+        for got, ref, name in zip((dq1, dq2, dp), refs,
+                                  ("dqkv1", "dqkv2", "dpos")):
+            a = np.asarray(got, np.float64).ravel()
+            b = np.asarray(ref, np.float64).ravel()
+            cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-30)
+            nrel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+            assert cos > 0.999 and nrel < 5e-2, (name, cos, nrel)
+
     def test_cross_features(self):
         self._check(cross=True)
 
