@@ -39,8 +39,13 @@ class DataLoader:
         # N workers each spawning the library default min(ncpu, 16) threads
         # oversubscribe the host (measured: 8 workers SLOWER than 1)
         from .. import native
-        native.set_num_threads(
-            max(1, (os.cpu_count() or 4) // self.num_workers))
+        share = max(1, (os.cpu_count() or 4) // self.num_workers)
+        native.set_num_threads(share)
+        try:  # cv2's internal parallel_for has the same oversubscription
+            import cv2
+            cv2.setNumThreads(share if self.num_workers > 1 else 0)
+        except Exception:
+            pass
 
     def _indices(self):
         n = len(self.dataset)
