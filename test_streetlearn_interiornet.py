@@ -158,6 +158,12 @@ def main():
 
     B = args.batch
     workers = args.decode_workers or min(8, os.cpu_count() or 1)
+    try:  # one cv2 parallel region per decode thread oversubscribes
+        import cv2
+        cv2.setNumThreads(max(1, (os.cpu_count() or 1) // workers)
+                          if workers > 1 else 0)
+    except Exception:
+        pass
     decode_ex = ThreadPoolExecutor(max_workers=workers)
 
     def load_pair(item):
