@@ -95,3 +95,33 @@ def replicate(mesh, tree):
             lambda x: jax.make_array_from_process_local_data(
                 s, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def allgather_ragged(named_lists):
+    """Gather per-process ragged row lists across all processes.
+
+    ``named_lists``: dict of name -> (list of length-d rows, d).  Every
+    process participates (collective); returns dict of name ->
+    (sum_p n_p, d) float32 arrays containing every process's rows
+    (process-major order), identical on all processes.  Used by the eval
+    CLIs to assemble the global per-pair predictions after each process
+    evaluated its shard of the test set.
+    """
+    from jax.experimental import multihost_utils
+
+    flat = {k: (np.asarray(v, np.float32).reshape(len(v), d)
+                if len(v) else np.zeros((0, d), np.float32))
+            for k, (v, d) in named_lists.items()}
+    ns = {a.shape[0] for a in flat.values()}
+    assert len(ns) == 1, f"ragged lists disagree on local count: {ns}"
+    n_local = ns.pop()
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray(n_local, np.int32)))
+    nmax = int(counts.max())
+    padded = {k: np.concatenate(
+        [a, np.zeros((nmax - a.shape[0], a.shape[1]), np.float32)])
+        for k, a in flat.items()}
+    g = multihost_utils.process_allgather(padded)      # (pc, nmax, d)
+    return {k: np.concatenate([np.asarray(g[k][p][: int(counts[p])])
+                               for p in range(len(counts))])
+            for k in g}

@@ -65,6 +65,19 @@ def eval_camera(predictions, exp, output_folder):
     return camera_metrics
 
 
+def _allgather_predictions(predictions, pc):
+    """Multi-process eval: assemble the global per-pair prediction lists
+    from every process's shard (collective; identical result on all)."""
+    from rel_pose_tpu.parallel import allgather_ragged
+    cam = predictions["camera"]
+    g = allgather_ragged({
+        "pt": (cam["preds"]["tran"], 3), "pr": (cam["preds"]["rot"], 4),
+        "gt": (cam["gts"]["tran"], 3), "gr": (cam["gts"]["rot"], 4)})
+    return {"camera": {
+        "preds": {"tran": list(g["pt"]), "rot": list(g["pr"])},
+        "gts": {"tran": list(g["gt"]), "rot": list(g["gr"])}}}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--datapath", required=True)
@@ -100,24 +113,35 @@ def main():
 
     params, bn_state = load_params(args.ckpt, cfg)
 
-    # batch-sharded inference over every local chip when the batch divides
-    # the device count (the reference evals on one GPU; DP eval here is
-    # result-identical — eval-mode BN — and tested on the 8-device CPU
-    # mesh, tests/test_parallel_eval.py)
+    # batch-sharded inference over every LOCAL chip when the batch divides
+    # the local device count (the reference evals on one GPU; DP eval here
+    # is result-identical — eval-mode BN — and tested on the 8-device CPU
+    # mesh, tests/test_parallel_eval.py).  Multi-process (pod): each
+    # process evaluates a strided shard of the test set on its own local
+    # devices as an independent process-local computation; the per-pair
+    # predictions are all-gathered afterwards and process 0 writes the
+    # metrics (tested by the 2-process CPU cluster in
+    # tests/test_multihost.py).
     import jax
-    n_dev = len(jax.devices())
-    # single-process only: with multiple processes every process would feed
-    # the same chunk to shard_batch (which multi-process treats as the
-    # per-process slice -> duplicated global batch) and np.asarray on a
-    # non-fully-addressable array errors out.  Guarded + tested in
-    # tests/test_multihost.py.
-    if n_dev > 1 and args.batch % n_dev == 0 and jax.process_count() == 1:
-        from rel_pose_tpu.parallel import make_mesh, replicate, shard_batch
-        mesh = make_mesh()
+    pc, pi = jax.process_count(), jax.process_index()
+    if pc > 1:
+        total_pairs = len(dset)
+        dset = dset[pi::pc]
+        print(f"process {pi}/{pc}: evaluating {len(dset)} "
+              f"of {total_pairs} pairs")
+    local = jax.local_devices()
+    if len(local) > 1 and args.batch % len(local) == 0:
+        from rel_pose_tpu.parallel import (make_mesh, batch_sharding,
+                                           replicated_sharding)
+        mesh = make_mesh(devices=local)
         fwd = make_forward_fn(cfg, mesh=mesh)
-        params, bn_state = replicate(mesh, (params, bn_state))
-        place = lambda t: shard_batch(mesh, t)  # noqa: E731
-        print(f"eval sharded over {n_dev} devices")
+        rs = replicated_sharding(mesh)
+        bs = batch_sharding(mesh)
+        params, bn_state = jax.tree.map(
+            lambda x: jax.device_put(x, rs), (params, bn_state))
+        place = lambda t: jax.tree.map(          # noqa: E731
+            lambda x: jax.device_put(x, bs), t)
+        print(f"eval sharded over {len(local)} local devices")
     else:
         fwd = make_forward_fn(cfg)
         place = lambda t: t  # noqa: E731
@@ -195,6 +219,11 @@ def main():
             preds[:3] = preds[:3] * DEPTH_SCALE
             predictions["camera"]["preds"]["tran"].append(preds[:3])
             predictions["camera"]["preds"]["rot"].append(preds[3:])
+
+    if pc > 1:
+        predictions = _allgather_predictions(predictions, pc)
+        if pi != 0:
+            return  # only process 0 computes and writes the metrics
 
     camera_metrics = eval_camera(predictions, args.exp, output_folder)
     for k in camera_metrics:

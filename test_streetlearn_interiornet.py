@@ -130,19 +130,25 @@ def main():
 
     params, bn_state = load_params(args.ckpt, cfg)
 
-    # batch-sharded inference over every local chip when possible (see
-    # test_matterport.py; result-identical, tests/test_parallel_eval.py)
+    # batch-sharded inference over every LOCAL chip when possible, and
+    # multi-process (pod) eval via strided test-set sharding + prediction
+    # all-gather (see test_matterport.py; result-identical,
+    # tests/test_parallel_eval.py + tests/test_multihost.py)
     import jax
-    n_dev = len(jax.devices())
-    # single-process only (see test_matterport.py: duplicated global batch +
-    # np.asarray on non-addressable arrays on multi-host pods)
-    if n_dev > 1 and args.batch % n_dev == 0 and jax.process_count() == 1:
-        from rel_pose_tpu.parallel import make_mesh, replicate, shard_batch
-        mesh = make_mesh()
+    pc, pi = jax.process_count(), jax.process_index()
+    local = jax.local_devices()
+    if len(local) > 1 and args.batch % len(local) == 0:
+        from rel_pose_tpu.parallel import (make_mesh, batch_sharding,
+                                           replicated_sharding)
+        mesh = make_mesh(devices=local)
         fwd = make_forward_fn(cfg, mesh=mesh)
-        params, bn_state = replicate(mesh, (params, bn_state))
-        place = lambda t: shard_batch(mesh, t)  # noqa: E731
-        print(f"eval sharded over {n_dev} devices")
+        rs = replicated_sharding(mesh)
+        bs = batch_sharding(mesh)
+        params, bn_state = jax.tree.map(
+            lambda x: jax.device_put(x, rs), (params, bn_state))
+        place = lambda t: jax.tree.map(          # noqa: E731
+            lambda x: jax.device_put(x, bs), t)
+        print(f"eval sharded over {len(local)} local devices")
     else:
         fwd = make_forward_fn(cfg)
         place = lambda t: t  # noqa: E731
@@ -152,6 +158,11 @@ def main():
                               "gts": {"tran": [], "rot": []}}}
 
     items = sorted(dset.items())[:1000]  # first 1000 pairs (:194)
+    if pc > 1:
+        total_pairs = len(items)
+        items = items[pi::pc]
+        print(f"process {pi}/{pc}: evaluating {len(items)} "
+              f"of {total_pairs} pairs")
 
     from tqdm import tqdm
     from concurrent.futures import ThreadPoolExecutor
@@ -209,6 +220,12 @@ def main():
             predictions["camera"]["gts"]["rot"].append(gts[i])
             predictions["camera"]["preds"]["tran"].append(poses[i, 1, :3])
             predictions["camera"]["preds"]["rot"].append(poses[i, 1, 3:])
+
+    if pc > 1:
+        from test_matterport import _allgather_predictions
+        predictions = _allgather_predictions(predictions, pc)
+        if pi != 0:
+            return  # only process 0 computes and writes the metrics
 
     camera_metrics = eval_camera(predictions, full_output_folder)
     for k in camera_metrics:
