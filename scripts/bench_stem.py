@@ -122,8 +122,10 @@ def parity():
 
 def bench():
     rng = np.random.default_rng(0)
+    src_h = int(os.environ.get("SRC_H", "256"))
+    src_w = int(os.environ.get("SRC_W", "256"))
     images = jnp.asarray(
-        rng.integers(0, 256, (BATCH, 3, 256, 256), dtype=np.uint8))
+        rng.integers(0, 256, (BATCH, 3, src_h, src_w), dtype=np.uint8))
     w = conv2d_init(jax.random.PRNGKey(1), 3, 64, 7, bias=False)["w"]
     w2 = s2d_weights(w)
     mean = jnp.asarray([104.0, 117.0, 124.0], DT)
