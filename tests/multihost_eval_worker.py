@@ -1,12 +1,13 @@
-"""Worker for the 2-process multi-process EVAL test.
+"""Worker for the 2-process multi-process EVAL tests.
 
 Launched by ``tests/test_multihost.py`` as
-``python tests/multihost_eval_worker.py <port> <pid> <nproc> <workdir>``.
+``python tests/multihost_eval_worker.py <port> <pid> <nproc> <workdir>
+<cli> <cli-arg>...``.
 Forms a ``jax.distributed`` CPU cluster (2 virtual devices per process)
-and runs the REAL Matterport eval CLI: each process evaluates its strided
+and runs the REAL eval CLI (``test_matterport.py`` or
+``test_streetlearn_interiornet.py``): each process evaluates its strided
 shard of the test set on its local devices, predictions are all-gathered,
-and process 0 writes results.txt — the pod code path of
-``test_matterport.py``.
+and process 0 writes results.txt — the pod code path.
 """
 
 import os
@@ -16,6 +17,7 @@ import sys
 def main():
     port, pid, nproc, workdir = (sys.argv[1], int(sys.argv[2]),
                                  int(sys.argv[3]), sys.argv[4])
+    cli, cli_args = sys.argv[5], sys.argv[6:]
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2")
     os.environ.pop("JAX_PLATFORMS", None)
@@ -27,13 +29,10 @@ def main():
     assert jax.process_count() == nproc
 
     os.chdir(workdir)
-    sys.argv = ["test_matterport.py", "--exp", "expmh",
-                "--datapath", os.path.join(workdir, "matterport"),
-                "--ckpt", os.path.join(workdir, "init.ckpt"),
-                "--transformer_depth", "2", "--fusion_transformer",
-                "--batch", "2"]
-    import test_matterport
-    test_matterport.main()
+    sys.argv = [cli] + cli_args
+    import importlib
+    mod = importlib.import_module(cli.removesuffix(".py"))
+    mod.main()
     print(f"MULTIHOST_EVAL_OK pid={pid}", flush=True)
     jax.distributed.shutdown()
 

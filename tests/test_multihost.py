@@ -77,18 +77,14 @@ def _read_results(path):
     return out
 
 
-def test_two_process_eval_cli(tmp_path):
-    """The pod eval path: 2 processes each evaluate a strided shard of the
-    test set on their local devices, predictions all-gather, process 0
-    writes results.txt — metrics must equal the single-process run's."""
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_cli import make_matterport_tree
-    make_matterport_tree(str(tmp_path / "matterport"), n=6, hw=(120, 160))
-
-    # weights-only checkpoint at the worker's model flags
+def _pod_eval_env():
     env0 = dict(os.environ)
     env0["PYTHONPATH"] = REPO + os.pathsep + env0.get("PYTHONPATH", "")
     env0["RELPOSE_PLATFORM"] = "cpu"
+    return env0
+
+
+def _make_init_ckpt(tmp_path, env0):
     mk = subprocess.run(
         [sys.executable, "-c", f"""
 import jax
@@ -103,29 +99,29 @@ save_checkpoint(r"{tmp_path / 'init.ckpt'}",
 print("CKPT_OK")
 """], capture_output=True, text=True, env=env0, cwd=REPO, timeout=300)
     assert "CKPT_OK" in mk.stdout, mk.stdout + mk.stderr
+    return str(tmp_path / "init.ckpt")
 
-    # single-process baseline
+
+def _run_pod_eval(tmp_path, cli, common_args, results_rel):
+    """Run an eval CLI single-process and as a 2-process cluster; assert
+    metric-for-metric results.txt equality."""
+    env0 = _pod_eval_env()
     base = subprocess.run(
-        [sys.executable, os.path.join(REPO, "test_matterport.py"),
-         "--exp", "expsp", "--datapath", str(tmp_path / "matterport"),
-         "--ckpt", str(tmp_path / "init.ckpt"),
-         "--transformer_depth", "2", "--fusion_transformer", "--batch", "2"],
-        capture_output=True, text=True, env=env0, cwd=str(tmp_path),
-        timeout=540)
+        [sys.executable, os.path.join(REPO, cli), "--exp", "expsp"]
+        + common_args, capture_output=True, text=True, env=env0,
+        cwd=str(tmp_path), timeout=540)
     assert base.returncode == 0, base.stdout + base.stderr
-    ref = _read_results(
-        str(tmp_path / "output" / "expsp" / "matterport_test" /
-            "results.txt"))
+    ref = _read_results(str(tmp_path / "output" / "expsp" / results_rel))
     assert ref
 
-    # 2-process run
     port = _free_port()
     env = dict(env0)
     env.pop("XLA_FLAGS", None)
     env.pop("RELPOSE_PLATFORM", None)
     worker = os.path.join(REPO, "tests", "multihost_eval_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(pid), "2", str(tmp_path)],
+        [sys.executable, worker, str(port), str(pid), "2", str(tmp_path),
+         cli, "--exp", "expmh"] + common_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=REPO) for pid in range(2)]
     outs = []
@@ -141,10 +137,52 @@ print("CKPT_OK")
         assert p.returncode == 0, f"eval worker {pid} failed:\n{out}"
         assert f"MULTIHOST_EVAL_OK pid={pid}" in out, out
 
-    got = _read_results(
-        str(tmp_path / "output" / "expmh" / "matterport_test" /
-            "results.txt"))
+    got = _read_results(str(tmp_path / "output" / "expmh" / results_rel))
     assert set(got) == set(ref)
     for k in ref:
         assert got[k] == pytest.approx(ref[k], rel=1e-4, abs=1e-4), \
             (k, got[k], ref[k])
+
+
+def test_two_process_eval_cli(tmp_path):
+    """The pod eval path: 2 processes each evaluate a strided shard of the
+    test set on their local devices, predictions all-gather, process 0
+    writes results.txt — metrics must equal the single-process run's."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_cli import make_matterport_tree
+    make_matterport_tree(str(tmp_path / "matterport"), n=6, hw=(120, 160))
+    ckpt = _make_init_ckpt(tmp_path, _pod_eval_env())
+    _run_pod_eval(
+        tmp_path, "test_matterport.py",
+        ["--datapath", str(tmp_path / "matterport"), "--ckpt", ckpt,
+         "--transformer_depth", "2", "--fusion_transformer", "--batch", "2"],
+        os.path.join("matterport_test", "results.txt"))
+
+
+def test_two_process_eval_cli_interiornet(tmp_path):
+    """Same pod eval contract for the IN/SL CLI (viewpoint->GT-rotation
+    construction and first-1000 protocol run per shard)."""
+    import numpy as np
+    import cv2
+    root = str(tmp_path / "inet")
+    rng = np.random.default_rng(1)
+    split = {}
+    for i in range(4):
+        p1, p2 = f"s/{i}a.png", f"s/{i}b.png"
+        for p in (p1, p2):
+            full = os.path.join(root, "data", "interiornet", p)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            cv2.imwrite(full, rng.integers(0, 255, (128, 128, 3),
+                                           dtype=np.uint8))
+        split[i] = {"img1": {"path": p1, "x": 0.2 * i, "y": 0.1},
+                    "img2": {"path": p2, "x": 0.1, "y": -0.2}}
+    os.makedirs(os.path.join(root, "metadata", "interiornet"), exist_ok=True)
+    np.save(os.path.join(root, "metadata", "interiornet",
+                         "test_pair_rotation.npy"),
+            np.array([split], dtype=object), allow_pickle=True)
+    ckpt = _make_init_ckpt(tmp_path, _pod_eval_env())
+    _run_pod_eval(
+        tmp_path, "test_streetlearn_interiornet.py",
+        ["--datapath", root, "--dataset", "interiornet", "--ckpt", ckpt,
+         "--transformer_depth", "2", "--fusion_transformer", "--batch", "2"],
+        os.path.join("interiornet_test", "results.txt"))
