@@ -161,3 +161,20 @@ class TestTrainStep:
                                      jnp.array(poses), jnp.array(intr))
         assert "val_geo_loss_tr" in metrics
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_allgather_ragged_single_process():
+    """Single-process degenerate case of the pod-eval gather: output ==
+    input rows (float32), names preserved."""
+    from rel_pose_tpu.parallel import allgather_ragged
+    rows = [np.array([1.0, 2.0, 3.0]), np.array([4.0, 5.0, 6.0])]
+    quats = [np.array([0.0, 0.0, 0.0, 1.0])]
+    # ragged ACROSS names is rejected
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        allgather_ragged({"t": (rows, 3), "r": (quats, 4)})
+    out = allgather_ragged({"t": (rows, 3), "r": (rows[:2], 3)})
+    np.testing.assert_allclose(out["t"], np.stack(rows))
+    assert out["t"].dtype == np.float32
+    empty = allgather_ragged({"t": ([], 3)})
+    assert empty["t"].shape == (0, 3)
