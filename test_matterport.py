@@ -65,7 +65,7 @@ def eval_camera(predictions, exp, output_folder):
     return camera_metrics
 
 
-def _allgather_predictions(predictions, pc):
+def _allgather_predictions(predictions):
     """Multi-process eval: assemble the global per-pair prediction lists
     from every process's shard (collective; identical result on all)."""
     from rel_pose_tpu.parallel import allgather_ragged
@@ -221,7 +221,7 @@ def main():
             predictions["camera"]["preds"]["rot"].append(preds[3:])
 
     if pc > 1:
-        predictions = _allgather_predictions(predictions, pc)
+        predictions = _allgather_predictions(predictions)
         if pi != 0:
             return  # only process 0 computes and writes the metrics
 

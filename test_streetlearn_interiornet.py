@@ -223,7 +223,7 @@ def main():
 
     if pc > 1:
         from test_matterport import _allgather_predictions
-        predictions = _allgather_predictions(predictions, pc)
+        predictions = _allgather_predictions(predictions)
         if pi != 0:
             return  # only process 0 computes and writes the metrics
 
