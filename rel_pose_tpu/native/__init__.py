@@ -33,11 +33,17 @@ def _load():
     if os.environ.get("RELPOSE_NO_NATIVE"):
         _lib = False
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_DIR, "host_pipeline.cpp")
+    src = os.path.join(_DIR, "host_pipeline.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
+        # rebuild when missing OR older than the source — a stale library
+        # missing a newer entry point would otherwise fail the ctypes
+        # symbol lookup below and silently disable the whole pipeline
         if not (os.path.exists(src) and _build()):
-            _lib = False
-            return _lib
+            if not os.path.exists(_LIB_PATH):
+                _lib = False
+                return _lib
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.rp_pair_to_chw_resize.argtypes = [
