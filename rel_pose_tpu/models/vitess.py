@@ -278,8 +278,10 @@ def vitess_forward(params, state, cfg: ModelConfig, images, intrinsics=None,
 
     if cfg.fusion_transformer:
         from ..ops.pallas_vit import fused_vit_stack
-        x = feats + params["pos_embed"].astype(feats.dtype)
-        x = fused_vit_stack(x, params["blocks"], cfg.num_heads)
+        # positional add rides the kernel (VMEM; as an XLA op it pays a
+        # full HBM round trip of the tokens since the kernel is opaque)
+        x = fused_vit_stack(feats, params["blocks"], cfg.num_heads,
+                            pos=params["pos_embed"])
         x = _cross_block(params["cross_block"], cfg, x, intr)
         features = layernorm_apply(params["norm"], x)
     else:

@@ -84,15 +84,18 @@ def _ln(x, scale, bias, eps=1e-6, single_pass=False):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
-def _vit_stack_kernel(x_ref, ln1s_ref, ln1b_ref, qkvw_ref, qkvb_ref,
-                      projw_ref, projb_ref, ln2s_ref, ln2b_ref,
+def _vit_stack_kernel(x_ref, pos_ref, ln1s_ref, ln1b_ref, qkvw_ref,
+                      qkvb_ref, projw_ref, projb_ref, ln2s_ref, ln2b_ref,
                       fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref, *rest,
                       depth, num_heads, head_dim, seq_per_block, stagger):
     # optional second output: per-block input stash (depth, S, N, C) for
     # the training backward kernel (drops its forward-recompute pass)
     xs_ref = rest[0] if rest else None
     S = seq_per_block
-    xb = x_ref[...]                                # (S, N, C)
+    # positional embedding added IN VMEM: as an XLA op its consumer (this
+    # kernel) is opaque, so the add materialized a full HBM round trip of
+    # the tokens (~0.3 ms at eval batch 256)
+    xb = x_ref[...] + pos_ref[...]                 # (S, N, C) + (1, N, C)
     N, C = xb.shape[-2], xb.shape[-1]
     scale = (head_dim ** -0.5) * _LOG2E
     cdt = xb.dtype
@@ -254,10 +257,13 @@ def _const_spec(shape):
 
 
 def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
-                    stash=False):
+                    stash=False, pos=None):
     interpret = _interp(interpret)
     G, N, C = x.shape
     head_dim = C // num_heads
+    if pos is None:
+        pos = jnp.zeros((1, N, C), x.dtype)
+    pos = pos.reshape(1, N, C).astype(x.dtype)
     # Sequences per grid instance.  S=2 (exact M=1152 MXU tiling) was
     # measured SLOWER on v5e than S=1 (5378 vs 5600 pairs/s eval at batch
     # 256) — the halved grid costs more pipelining than the 10% M-padding
@@ -269,8 +275,9 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
     stagger = streams > 1 and not stash and G % streams == 0
     S = streams if stagger else 1
     in_specs = [pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    args = [x]
+                             memory_space=pltpu.VMEM),
+                _const_spec(pos.shape)]
+    args = [x, pos]
     for name, _ in _STACK_FIELDS:
         arr = stacked[name]
         in_specs.append(_const_spec(arr.shape))
@@ -336,18 +343,23 @@ def vit_stack_reference(x, stacked, depth, num_heads):
 
 # -------------------------------------------------------------- public op --
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _vit_stack_op(x, stacked, depth, num_heads):
-    return _vit_stack_call(x, stacked, depth, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _vit_stack_op(x, stacked, pos, depth, num_heads):
+    return _vit_stack_call(x, stacked, depth, num_heads, pos=pos)
 
 
-def _vit_stack_fwd(x, stacked, depth, num_heads):
-    o, xs = _vit_stack_call(x, stacked, depth, num_heads, stash=True)
-    return o, (xs, stacked)
+def _vit_stack_fwd(x, stacked, pos, depth, num_heads):
+    o, xs = _vit_stack_call(x, stacked, depth, num_heads, stash=True,
+                            pos=pos)
+    return o, (xs, stacked, pos)
 
 
 def _vit_stack_bwd(depth, num_heads, res, g):
-    xs, stacked = res
+    # xs[0] is the post-positional-add block-0 input, so the backward's dx
+    # is d/d(x + pos): dx flows to x unchanged and pos takes its
+    # grid-sum (the same gradient the XLA-level broadcast add produced).
+    xs, stacked, pos = res
+    pos_dtype = pos.dtype
     if _use_pallas():
         # single-kernel backward: per-block recompute (from the stashed
         # block inputs) + VJP of all blocks per sequence in VMEM, weight
@@ -356,25 +368,34 @@ def _vit_stack_bwd(depth, num_heads, res, g):
         dx, dstacked = vit_stack_bwd_call(xs, g, stacked, depth, num_heads)
         dstacked = {k: v.astype(stacked[k].dtype)
                     for k, v in dstacked.items()}
-        return dx, dstacked
-    _, vjp = jax.vjp(
-        lambda xx, ss: vit_stack_reference(xx, ss, depth, num_heads),
-        xs[0], stacked)
-    dx, dstacked = vjp(g)
-    return dx, dstacked
+    else:
+        _, vjp = jax.vjp(
+            lambda xx, ss: vit_stack_reference(xx, ss, depth, num_heads),
+            xs[0], stacked)
+        dx, dstacked = vjp(g)
+    dpos = jnp.sum(dx.astype(jnp.float32), axis=0,
+                   keepdims=True).astype(pos_dtype)
+    return dx, dstacked, dpos
 
 
 _vit_stack_op.defvjp(_vit_stack_fwd, _vit_stack_bwd)
 
 
-def fused_vit_stack(x, blocks, num_heads):
+def fused_vit_stack(x, blocks, num_heads, pos=None):
     """Apply all self-attention blocks.  x: (G, N, C); blocks: list of block
-    param dicts.  Pallas megakernel on TPU, unfused path elsewhere."""
+    param dicts; pos: optional (1, N, C) positional embedding added to x
+    (fused into the kernel — as a separate XLA op the add pays a full HBM
+    round trip of the tokens).  Pallas megakernel on TPU, unfused path
+    elsewhere."""
     depth = len(blocks)
     if depth == 0:
-        return x
+        return x if pos is None else x + pos.astype(x.dtype)
     stacked = stack_block_params(blocks)
     if _use_pallas():
         stacked = {k: v.astype(x.dtype) for k, v in stacked.items()}
-        return _vit_stack_op(x, stacked, depth, num_heads)
+        if pos is None:
+            pos = jnp.zeros((1,) + x.shape[1:], x.dtype)
+        return _vit_stack_op(x, stacked, pos, depth, num_heads)
+    if pos is not None:
+        x = x + pos.astype(x.dtype)
     return vit_stack_reference(x, stacked, depth, num_heads)

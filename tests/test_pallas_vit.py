@@ -66,7 +66,10 @@ class TestVitStackKernel:
         from rel_pose_tpu.ops.pallas_vit import _vit_stack_call
         _, xs = _vit_stack_call(x, stacked, depth, heads, interpret=True,
                                 stash=True)
-        dx, dstacked = _vit_stack_bwd(depth, heads, (xs, stacked), g)
+        dx, dstacked, dpos = _vit_stack_bwd(
+            depth, heads, (xs, stacked, jnp.zeros((1, 64, dim))), g)
+        np.testing.assert_allclose(np.asarray(dpos[0]),
+                                   np.asarray(dx).sum(0), atol=1e-5)
         # reference grads via direct autodiff
         def loss(xx, ss):
             return jnp.sum(vit_stack_reference(xx, ss, depth, heads) * g)
