@@ -35,15 +35,23 @@ class DataLoader:
         self.shard_index = shard_index
         self.drop_last = drop_last
         self.prefetch = prefetch
+
+    def _apply_thread_budget(self):
         # divide the host's cores among the workers' native pipeline calls:
         # N workers each spawning the library default min(ncpu, 16) threads
-        # oversubscribe the host (measured: 8 workers SLOWER than 1)
+        # oversubscribe the host (measured: 8 workers SLOWER than 1).  The
+        # budget is process-global, so it is applied when iteration STARTS
+        # (not at construction) — the loader actually consuming the host
+        # owns the budget; merely constructing a val loader must not
+        # re-budget a running train loader.
         from .. import native
         share = max(1, (os.cpu_count() or 4) // self.num_workers)
         native.set_num_threads(share)
         try:  # cv2's internal parallel_for has the same oversubscription
             import cv2
-            cv2.setNumThreads(share if self.num_workers > 1 else 0)
+            # single worker: negative value restores cv2's own default
+            # thread pool (0 would DISABLE cv2 threading entirely)
+            cv2.setNumThreads(share if self.num_workers > 1 else -1)
         except Exception:
             pass
 
@@ -70,6 +78,7 @@ class DataLoader:
         return -(-per_shard // self.batch_size)
 
     def __iter__(self):
+        self._apply_thread_budget()
         order = self._indices()
         nb = len(self)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]

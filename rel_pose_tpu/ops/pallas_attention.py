@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .runtime import use_pallas as _use_pallas
 from .runtime import interpret_default as _interp
+from .runtime import maybe_shard_map as _maybe_shard_map
 
 
 # ------------------------------------------------------------ reference ----
@@ -167,5 +168,7 @@ def fused_mhsa(q, k, v, scale):
     to fp rounding).
     """
     if _use_pallas():
-        return _mhsa_pallas(q, k, v, scale)
+        return _maybe_shard_map(
+            lambda a, b, c: _mhsa_pallas(a, b, c, scale),
+            (q, k, v), (True, True, True))
     return mhsa_reference(q, k, v, scale)

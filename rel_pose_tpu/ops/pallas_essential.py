@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .runtime import use_pallas as _use_pallas
 from .runtime import interpret_default as _interp
+from .runtime import maybe_shard_map as _maybe_shard_map
 
 
 # ------------------------------------------------------------ reference ----
@@ -222,6 +223,9 @@ def fused_bilinear_attention(q, k, va, vb, scale, single_softmax=False):
     Returns (G, e, e) float32.  Pallas on TPU, einsum elsewhere.
     """
     if _use_pallas():
-        return _bilinear_pallas(q, k, va, vb, scale, single_softmax)
+        return _maybe_shard_map(
+            lambda a, b, c, d: _bilinear_pallas(a, b, c, d, scale,
+                                                single_softmax),
+            (q, k, va, vb), (True, True, True, True))
     return bilinear_attention_reference(
         q, k, va, vb, scale, single_softmax).astype(jnp.float32)

@@ -33,6 +33,7 @@ _LOG2E = 1.4426950408889634
 
 from .runtime import use_pallas as _use_pallas
 from .runtime import interpret_default as _interp
+from .runtime import maybe_shard_map as _maybe_shard_map
 
 
 # ------------------------------------------------------------ reference ----
@@ -125,6 +126,43 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            # RELPOSE_EB_MXU_NORM=1 (bf16 dual-softmax only): single-exp
+            # form P = F^2 with F = 2^(s - (mr+mc)/2) <= 1, the row/col
+            # normalizers recovered as BF16 MXU matvecs (lr = F @ 2^(mc/2)
+            # shifted, lc = 2^(mr/2) @ F) instead of VPU sums.  The round-3
+            # fp32 version of this was measured-and-rejected (fp32 matvecs
+            # serialize against the AV matmul); this bf16 variant is the
+            # VERDICT-r4 data point: one exp2 pass and two VPU reduction
+            # traversals removed, at ~bf16-resolution normalizer error.
+            mxu_norm = (bool(os.environ.get("RELPOSE_EB_MXU_NORM"))
+                        and q.dtype == jnp.bfloat16
+                        and not use_single_softmax)
+            if mxu_norm:
+                mr = jnp.max(s, axis=1, keepdims=True)
+                mc = jnp.max(s, axis=0, keepdims=True)
+                Mr = jnp.max(mr)
+                Mc = jnp.max(mc)
+                F = jnp.exp2(s - 0.5 * (mr + mc))            # <= 1
+                Fb = F.astype(jnp.bfloat16)
+                P = (F * F).astype(vb.dtype)
+                u = jnp.exp2(0.5 * (mc - Mc)).astype(jnp.bfloat16)
+                wv = jnp.exp2(0.5 * (mr - Mr)).astype(jnp.bfloat16)
+                lr = jax.lax.dot_general(
+                    Fb, u.reshape(-1, 1), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) \
+                    * jnp.exp2(0.5 * (Mc - mr))              # (N, 1)
+                lc = jax.lax.dot_general(
+                    wv.reshape(1, -1), Fb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) \
+                    * jnp.exp2(0.5 * (Mr - mc))              # (1, N)
+                vb_n = (vb.astype(jnp.float32)
+                        * (1.0 / lc).reshape(-1, 1)).astype(vb.dtype)
+                av = jnp.dot(P, vb_n, preferred_element_type=jnp.float32)
+                av = (av * (1.0 / lr)).astype(va.dtype)
+                f_ref[0, direction, h] = jax.lax.dot_general(
+                    va, av, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                continue
             mr = jnp.max(s, axis=1, keepdims=True)
             er = jnp.exp2(s - mr)
             lr = jnp.sum(er, axis=1, keepdims=True)
@@ -359,9 +397,11 @@ def fused_essential_block(qkv1, qkv2, positional, num_heads,
             positional = jnp.zeros(qkv1.shape[:2] + (6,), qkv1.dtype)
         else:
             positional = positional.astype(qkv1.dtype)
-        return _essential_block_op(qkv1, qkv2, positional, num_heads,
-                                   cross_features, use_single_softmax,
-                                   has_pos)
+        return _maybe_shard_map(
+            lambda a, b, p: _essential_block_op(
+                a, b, p, num_heads, cross_features, use_single_softmax,
+                has_pos),
+            (qkv1, qkv2, positional), (True, True, True))
     return essential_block_reference(qkv1, qkv2, positional, num_heads,
                                      cross_features, use_single_softmax)
 
@@ -441,9 +481,11 @@ def fused_essential_block_x(x1, x2, qkv_params, positional, num_heads,
             positional = jnp.zeros(x1.shape[:2] + (6,), x1.dtype)
         else:
             positional = positional.astype(x1.dtype)
-        return _essential_block_x_op(x1, x2, w, b, positional, num_heads,
-                                     cross_features, use_single_softmax,
-                                     has_pos)
+        return _maybe_shard_map(
+            lambda a, c, ww, bb, p: _essential_block_x_op(
+                a, c, ww, bb, p, num_heads, cross_features,
+                use_single_softmax, has_pos),
+            (x1, x2, w, b, positional), (True, True, False, False, True))
     qkv1 = _linear_rounded(x1, w, b)
     qkv2 = _linear_rounded(x2, w, b)
     return essential_block_reference(qkv1, qkv2, positional, num_heads,

@@ -46,8 +46,10 @@ def _ln_fwd(x, scale, bias, eps=1e-6):
         # single-traversal variance (see ops/pallas_vit._ln): E[x^2] and
         # E[x] accumulate in one pass; cancellation error is below bf16
         # resolution.  fp32 keeps the centered two-pass form.
-        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
-            - jnp.square(mean)
+        # clamped: cancellation can drive the difference slightly negative
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mean), 0.0)
     else:
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xc = xf - mean

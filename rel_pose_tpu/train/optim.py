@@ -6,7 +6,10 @@ Reference (``/root/reference/train.py:69-73,158-166``):
     ``optax.add_decayed_weights`` ahead of ``scale_by_adam``;
   * OneCycleLR(max_lr, total_steps, pct_start=warmup/steps, div_factor=25,
     cycle_momentum=False) with the default cosine annealing and
-    final_div_factor=1e4 — exactly ``optax.cosine_onecycle_schedule``;
+    final_div_factor=1e4 — reproduced torch-exactly by ``onecycle_schedule``
+    below (NOT ``optax.cosine_onecycle_schedule``, whose peak lands one step
+    later and whose warmup ramp is linear — found by the training-trajectory
+    parity test, see ``onecycle_schedule``'s docstring);
   * gradient clipping by global norm 2.5 applied before the update.
 """
 
@@ -51,14 +54,22 @@ def onecycle_schedule(lr, steps, warmup):
     """
     init = lr / 25.0
     final = init / 1e4
-    w_end = float(warmup - 1)          # torch: pct_start * total_steps - 1
+    # torch places the boundary at pct_start*total_steps - 1; warmup <= 1
+    # degenerates to "update 0 is already at peak lr" (torch itself rejects
+    # pct_start outside (0, 1), so warmup=0 has no torch counterpart — we
+    # treat it like warmup=1)
+    w_end = float(max(warmup - 1, 0))
     a_len = float(steps - 1) - w_end
+    no_warmup = warmup <= 1
 
     def sched(count):
         # half-angle forms (sin^2 / cos^2) instead of (1 -+ cos)/2: the
         # latter cancels catastrophically in fp32 at the ~1e-8 tail lrs
         s = jnp.asarray(count, jnp.float32)
-        wp = jnp.clip(s / jnp.maximum(w_end, 1.0), 0.0, 1.0)
+        if no_warmup:
+            wp = jnp.ones_like(s)       # lr(0) = peak lr, no ramp
+        else:
+            wp = jnp.clip(s / w_end, 0.0, 1.0)
         up = init + (lr - init) * jnp.square(jnp.sin(0.5 * jnp.pi * wp))
         ap = jnp.clip((s - w_end) / jnp.maximum(a_len, 1.0), 0.0, 1.0)
         down = final + (lr - final) * jnp.square(jnp.cos(0.5 * jnp.pi * ap))

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..geom.losses import geodesic_loss
 from ..models.vitess import vitess_forward
+from ..ops.runtime import data_parallel_scope
 from .state import TrainState
 
 
@@ -58,10 +59,15 @@ def make_train_step(cfg, tx, w_tr=10.0, w_rot=10.0, mesh=None, remat=False):
     loss_fn = make_loss_fn(cfg, w_tr, w_rot, "train", remat=remat)
 
     def step(state: TrainState, images, poses_gt, intrinsics):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (new_bn, metrics, poses_est)), grads = grad_fn(
-            state.params, state.bn_state, images, poses_gt, intrinsics, True)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # the scope makes the fused Pallas ops partition themselves over
+        # 'data' via shard_map (GSPMD cannot see inside a Mosaic custom
+        # call); it is live for the whole trace, forward AND backward
+        with data_parallel_scope(mesh):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_bn, metrics, poses_est)), grads = grad_fn(
+                state.params, state.bn_state, images, poses_gt, intrinsics,
+                True)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(params=new_params, bn_state=new_bn,
                                   opt_state=new_opt, step=state.step + 1)
@@ -88,8 +94,10 @@ def make_eval_step(cfg, w_tr=10.0, w_rot=10.0, mesh=None, train_val="val"):
     loss_fn = make_loss_fn(cfg, w_tr, w_rot, train_val)
 
     def step(state: TrainState, images, poses_gt, intrinsics):
-        loss, (_, metrics, poses_est) = loss_fn(
-            state.params, state.bn_state, images, poses_gt, intrinsics, False)
+        with data_parallel_scope(mesh):
+            loss, (_, metrics, poses_est) = loss_fn(
+                state.params, state.bn_state, images, poses_gt, intrinsics,
+                False)
         metrics = dict(metrics)
         metrics["loss"] = loss
         return metrics, poses_est
@@ -107,8 +115,9 @@ def make_forward_fn(cfg, mesh=None, training=False):
     """Jitted inference forward: (params, bn_state, images, intrinsics) ->
     (B, 2, 7) poses.  Used by the eval/demo CLIs and the benchmark."""
     def fwd(params, bn_state, images, intrinsics):
-        poses, _ = vitess_forward(params, bn_state, cfg, images, intrinsics,
-                                  training=training)
+        with data_parallel_scope(mesh):
+            poses, _ = vitess_forward(params, bn_state, cfg, images,
+                                      intrinsics, training=training)
         return poses
 
     if mesh is not None:

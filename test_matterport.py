@@ -143,6 +143,11 @@ def main():
             lambda x: jax.device_put(x, bs), t)
         print(f"eval sharded over {len(local)} local devices")
     else:
+        if len(local) > 1:
+            print(f"NOTE: --batch {args.batch} is not divisible by the "
+                  f"{len(local)} local devices; falling back to "
+                  f"single-device eval (use --batch a multiple of "
+                  f"{len(local)} for sharded eval)")
         fwd = make_forward_fn(cfg)
         place = lambda t: t  # noqa: E731
 
@@ -172,8 +177,10 @@ def main():
 
     try:  # one cv2 parallel region per decode thread oversubscribes
         import cv2
+        # single decode worker: negative restores cv2's own default pool
+        # (0 would disable cv2-internal threading entirely)
         cv2.setNumThreads(max(1, (os.cpu_count() or 1) // workers)
-                          if workers > 1 else 0)
+                          if workers > 1 else -1)
     except Exception:
         pass
     decode_ex = ThreadPoolExecutor(max_workers=workers)

@@ -92,6 +92,10 @@ class TestTrainCLI:
                      "--exp", "exp", "--datapath", "matterport",
                      "--ckpt", ckpt, "--batch", "2"] + MODEL_FLAGS, cwd=wd)
         assert r.returncode == 0, r.stderr[-3000:]
+        # --batch 2 does not divide the 8 virtual devices: the CLI must say
+        # it fell back to single-device eval rather than silently running
+        # at 1/8 throughput (VERDICT r3 weak #7)
+        assert "falling back to" in r.stdout and "single-device" in r.stdout
         results = os.path.join(wd, "output", "exp", "matterport_test",
                                "results.txt")
         assert os.path.exists(results)
@@ -167,6 +171,7 @@ class TestStreetlearnInteriornetCLI:
                      "--dataset", "interiornet", "--ckpt", ckpt,
                      "--batch", "2"] + MODEL_FLAGS, cwd=wd)
         assert r.returncode == 0, r.stderr[-3000:]
+        assert "falling back to" in r.stdout and "single-device" in r.stdout
         results = os.path.join(wd, "output", "inet", "interiornet_test",
                                "results.txt")
         assert os.path.exists(results)

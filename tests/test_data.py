@@ -228,3 +228,76 @@ class TestAugmentor:
         rgb = rng.uniform(0.1, 0.9, (1, 3, 16, 16))
         back = _adjust_hue(_adjust_hue(rgb, 0.1), -0.1)
         np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+
+class TestDecodeLevers:
+    """Host-throughput levers: reduced-scale decode, decode cache, and the
+    resize-before-jitter ordering (docs/PROFILE.md 'Host pipeline')."""
+
+    def test_reduced_decode_jpeg(self, tmp_path):
+        from rel_pose_tpu.data.base import image_read
+        p = str(tmp_path / "im.jpg")
+        # smooth gradients (natural-image-like; random noise is JPEG's
+        # pathological case and says nothing about the DCT half decode)
+        yy, xx = np.mgrid[0:480, 0:640]
+        img = np.stack([(yy // 4) % 256, (xx // 4) % 256,
+                        ((xx + yy) // 8) % 256], -1).astype(np.uint8)
+        cv2.imwrite(p, img)
+        full = image_read(p)
+        half = image_read(p, reduce=2)
+        assert full.shape == (480, 640, 3)
+        assert half.shape == (240, 320, 3)
+        # DCT-domain half decode approximates a box-filtered downsample
+        box = full.reshape(240, 2, 320, 2, 3).mean((1, 3))
+        assert np.abs(half.astype(np.float32) - box).mean() < 2.0
+
+    def test_decode_cache(self, tmp_path, monkeypatch):
+        import rel_pose_tpu.data.base as base
+        p = str(tmp_path / "im.png")
+        _write_img(p, (64, 64))
+        monkeypatch.setenv("RELPOSE_DECODE_CACHE_MB", "1")
+        monkeypatch.setattr(base, "_decode_cache", None)
+        a = base.image_read_cached(p)
+        b = base.image_read_cached(p)
+        cache = base.decode_cache()
+        assert cache.hits == 1 and cache.misses == 1
+        np.testing.assert_array_equal(a, b)
+        # budget eviction: fill past 1 MB (64x64x3 = 12 KB each -> ~85 fit)
+        for i in range(120):
+            q = str(tmp_path / f"e{i}.png")
+            _write_img(q, (64, 64))
+            base.image_read_cached(q)
+        assert cache.used <= cache.budget
+
+    def test_resize_first_matches_fullres_jitter(self, matterport_root,
+                                                 monkeypatch):
+        """With contrast disabled the jitter is purely pixelwise, so
+        jitter-then-subset == subset-then-jitter EXACTLY."""
+        def mk():
+            ds = Matterport(datapath=matterport_root, subepoch=0,
+                            augment=True, rng=np.random.default_rng(3))
+            # contrast off: its scalar mean is the one non-pixelwise input
+            ds.aug.contrast = 0
+            return ds
+
+        monkeypatch.delenv("RELPOSE_JITTER_FULLRES", raising=False)
+        fast, _, intr_fast = mk()[0]
+        monkeypatch.setenv("RELPOSE_JITTER_FULLRES", "1")
+        ref, _, intr_ref = mk()[0]
+        np.testing.assert_array_equal(fast, ref)
+        np.testing.assert_allclose(intr_fast, intr_ref, rtol=1e-6)
+
+    def test_resize_first_with_contrast_close(self, matterport_root,
+                                              monkeypatch):
+        """With contrast on, only the blend mean is re-estimated over the
+        nearest subset — outputs stay within a few grey levels."""
+        def mk():
+            return Matterport(datapath=matterport_root, subepoch=0,
+                              augment=True, rng=np.random.default_rng(5))
+
+        monkeypatch.delenv("RELPOSE_JITTER_FULLRES", raising=False)
+        fast, _, _ = mk()[0]
+        monkeypatch.setenv("RELPOSE_JITTER_FULLRES", "1")
+        ref, _, _ = mk()[0]
+        diff = np.abs(fast.astype(np.float32) - ref.astype(np.float32))
+        assert diff.max() <= 3.0

@@ -42,6 +42,27 @@ class TestEssentialBlockKernel:
     def test_no_pos(self):
         self._check(pos=False)
 
+    def test_mxu_norm_bf16_variant(self, monkeypatch):
+        """RELPOSE_EB_MXU_NORM=1 (single-exp dual softmax, normalizers as
+        bf16 MXU matvecs) must stay within bf16 resolution of the default
+        bf16 chain and no farther from the fp32 reference."""
+        qkv1 = _rand(B, N, C3).astype(jnp.bfloat16)
+        qkv2 = _rand(B, N, C3).astype(jnp.bfloat16)
+        positional = _rand(B, N, 6).astype(jnp.bfloat16)
+        ref = np.asarray(essential_block_reference(
+            qkv1, qkv2, positional, H, False, False))
+        base = np.asarray(_essential_block_call(
+            qkv1, qkv2, positional, H, False, False, True, interpret=True))
+        monkeypatch.setenv("RELPOSE_EB_MXU_NORM", "1")
+        var = np.asarray(_essential_block_call(
+            qkv1, qkv2, positional, H, False, False, True, interpret=True))
+
+        def rel(a, b):
+            return np.abs(a - b).max() / np.abs(b).max()
+
+        assert rel(var, base) < 0.01          # within bf16 noise of default
+        assert rel(var, ref) < rel(base, ref) * 2 + 0.005
+
     def test_matches_per_head_path(self):
         """The block reference must agree with the older per-head einsum
         composition used by essential_cross_attention's previous wiring."""

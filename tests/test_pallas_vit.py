@@ -54,6 +54,21 @@ class TestVitStackKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_kernel_packed_heads_matches_reference(self, monkeypatch):
+        """RELPOSE_VIT_PACK_HEADS=1 (heads 0+1 block-diagonally packed into
+        one 128-lane MXU tile) must be numerically identical to the default
+        per-head chain — same softmax math modulo the shared row shift."""
+        monkeypatch.setenv("RELPOSE_VIT_PACK_HEADS", "1")
+        dim, heads, depth = 192, 3, 2
+        blocks = make_blocks(depth, dim, heads)
+        x = jnp.asarray(
+            RNG.standard_normal((2, 64, dim)).astype(np.float32) * 0.5)
+        stacked = stack_block_params(blocks)
+        ref = vit_stack_reference(x, stacked, depth, heads)
+        out = _vit_stack_call(x, stacked, depth, heads, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
     def test_custom_vjp_backward(self):
         from rel_pose_tpu.ops.pallas_vit import _vit_stack_bwd
         dim, heads, depth = 96, 3, 2
