@@ -38,7 +38,8 @@ from ..ops.image import (IMAGENET_MEAN, IMAGENET_STD, nearest_resize,
                          s2d_nearest_resize, scale_intrinsics)
 from ..ops.posenc import quadratic_positional_encoding, l1_positional_encoding
 from ..ops.essential import (
-    cross_attention_init, essential_cross_attention, noess_cross_attention,
+    cross_attention_init, essential_cross_attention,
+    essential_cross_attention_pair, noess_cross_attention,
 )
 
 
@@ -184,8 +185,21 @@ def _extract_features(params, state, cfg, images, intrinsics, training):
     x = x.reshape(B * 2, cfg.total_num_features, cfg.num_patches)
     if not cfg.fusion_transformer:
         x = x[:, : cfg.total_num_features // 2]
-    x = jnp.swapaxes(x, 1, 2)
+    if not _vit_cf(cfg):
+        # with the channels-first lever the ViT megakernel ingests the
+        # extractor's natural (2B, C, N) layout and transposes in VMEM
+        x = jnp.swapaxes(x, 1, 2)
     return x, intrinsics, new_state
+
+
+def _vit_cf(cfg):
+    """RELPOSE_VIT_CF=1: skip the XLA (2B, C, N) -> (2B, N, C) token
+    transpose (a full HBM round trip — the ViT kernel is an opaque
+    consumer) and let the megakernel transpose in VMEM.  A/B lever pending
+    hardware measurement (scripts/hw_revalidate.sh)."""
+    from ..ops.runtime import use_pallas
+    return (cfg.fusion_transformer and bool(os.environ.get("RELPOSE_VIT_CF"))
+            and use_pallas())
 
 
 def _positional(cfg, intrinsics, batch):
@@ -204,15 +218,26 @@ def _cross_block(params, cfg, x, intrinsics):
     """
     two_b, N, C = x.shape
     xp = x.reshape(-1, 2, N, C)
-    x1 = layernorm_apply(params["norm1"], xp[:, 0])
-    x2 = layernorm_apply(params["norm1"], xp[:, 1])
 
     if not cfg.noess:
         positional = _positional(cfg, intrinsics, xp.shape[0])
-        f1, f2 = essential_cross_attention(
-            params["cross_attn"], x1, x2, positional, cfg.num_heads,
-            cross_features=cfg.cross_features,
-            use_single_softmax=cfg.use_single_softmax)
+        # norm1 + pair split + qkv all fold into the essential kernel: as
+        # separate XLA ops each materializes the full token tensors in HBM
+        # (the Mosaic call is opaque to fusion).  RELPOSE_EB_NO_PAIR=1
+        # restores the round-3 path (separate XLA LN + the qkv-fused
+        # kernel) as the hardware A/B lever.
+        if os.environ.get("RELPOSE_EB_NO_PAIR"):
+            x1 = layernorm_apply(params["norm1"], xp[:, 0])
+            x2 = layernorm_apply(params["norm1"], xp[:, 1])
+            f1, f2 = essential_cross_attention(
+                params["cross_attn"], x1, x2, positional, cfg.num_heads,
+                cross_features=cfg.cross_features,
+                use_single_softmax=cfg.use_single_softmax)
+        else:
+            f1, f2 = essential_cross_attention_pair(
+                params["cross_attn"], params["norm1"], xp, positional,
+                cfg.num_heads, cross_features=cfg.cross_features,
+                use_single_softmax=cfg.use_single_softmax)
         # (B, 2, e, C) -> (2B, e, C); residual MLP (token count changed, so
         # no residual around the attention itself)
         fund = jnp.stack([f1, f2], axis=1).reshape(two_b, -1, C)
@@ -220,6 +245,8 @@ def _cross_block(params, cfg, x, intrinsics):
                                 layernorm_apply(params["norm2"], fund))
         return fund
     else:
+        x1 = layernorm_apply(params["norm1"], xp[:, 0])
+        x2 = layernorm_apply(params["norm1"], xp[:, 1])
         y1, y2 = noess_cross_attention(params["cross_attn"], x1, x2,
                                        cfg.num_heads)
         x_inter = jnp.stack([y1, y2], axis=1).reshape(two_b, N, C)
@@ -281,7 +308,8 @@ def vitess_forward(params, state, cfg: ModelConfig, images, intrinsics=None,
         # positional add rides the kernel (VMEM; as an XLA op it pays a
         # full HBM round trip of the tokens since the kernel is opaque)
         x = fused_vit_stack(feats, params["blocks"], cfg.num_heads,
-                            pos=params["pos_embed"])
+                            pos=params["pos_embed"],
+                            channels_first=_vit_cf(cfg))
         x = _cross_block(params["cross_block"], cfg, x, intr)
         features = layernorm_apply(params["norm"], x)
     else:

@@ -7,6 +7,7 @@ from .image import (
 from .essential import (
     cross_attention_init,
     essential_cross_attention,
+    essential_cross_attention_pair,
     noess_cross_attention,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "quadratic_positional_encoding", "l1_positional_encoding",
     "nearest_resize", "preprocess_images", "scale_intrinsics",
     "cross_attention_init", "essential_cross_attention",
+    "essential_cross_attention_pair",
     "noess_cross_attention",
 ]

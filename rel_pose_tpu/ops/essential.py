@@ -97,6 +97,33 @@ def essential_cross_attention(params, x1, x2, positional, num_heads,
     return fund_2, fund_1
 
 
+def essential_cross_attention_pair(params, ln_params, xp, positional,
+                                   num_heads, cross_features=False,
+                                   use_single_softmax=False):
+    """LN-fused variant of :func:`essential_cross_attention`: takes the RAW
+    interleaved pair tokens ``xp (B, 2, N, C)`` plus the cross block's norm1
+    params, so on TPU the LayerNorm, pair split, and qkv projection all stay
+    in VMEM (see ``fused_essential_block_pair``).  Returns the same
+    ViLBERT-flipped (out1, out2)."""
+    B, _, N, C = xp.shape
+    from .pallas_essential_block import fused_essential_block_pair
+
+    f = fused_essential_block_pair(xp, ln_params, params["qkv"], positional,
+                                   num_heads, cross_features=cross_features,
+                                   use_single_softmax=use_single_softmax)
+    f = f.astype(xp.dtype)                   # (B, 2, h, e, e)
+    e = f.shape[-1]
+    fund_1, fund_2 = f[:, 0], f[:, 1]
+    fund_1 = jnp.swapaxes(fund_1.reshape(B, num_heads * e, e), -2, -1)
+    fund_2 = jnp.swapaxes(fund_2.reshape(B, num_heads * e, e), -2, -1)
+
+    fund_2 = linear_apply(params["proj_fundamental"], fund_2)
+    fund_1 = linear_apply(params["proj_fundamental"], fund_1)
+
+    # ViLBERT-style flip (:236-238)
+    return fund_2, fund_1
+
+
 def noess_cross_attention(params, x1, x2, num_heads):
     """The --noess ablation path (``vision_transformer.py:239-262``):
     plain softmax cross-attention exchanging features, keeping (B, N, C).

@@ -211,6 +211,38 @@ def _essential_block_kernel(qkv1_ref, qkv2_ref, pos_ref, f_ref, *,
                use_single_softmax=use_single_softmax)
 
 
+def _essential_block_pair_kernel(xp_ref, lns_ref, lnb_ref, qkvw_ref,
+                                 qkvb_ref, pos_ref, f_ref, *, num_heads,
+                                 head_dim, has_pos, cross_features,
+                                 use_single_softmax):
+    """Pair-tensor variant with the cross block's input LayerNorm fused in.
+
+    Takes the interleaved (1, 2, N, C) RAW token block: the (B, N, C)
+    x1/x2 slices and the normed tokens never materialize in HBM (as
+    separate XLA ops both are forced out to HBM because this custom call
+    is opaque — a write+read of the full token tensors each, ~2% of the
+    eval step at batch 256).  LN statistics fp32, single-pass variance on
+    the bf16 path (same policy as the ViT megakernel's ``_ln``)."""
+    from .pallas_vit import _ln
+    cdt = xp_ref.dtype
+    single = cdt == jnp.bfloat16
+    lns = lns_ref[0]
+    lnb = lnb_ref[0]
+    x1 = _ln(xp_ref[0, 0], lns, lnb, single_pass=single).astype(cdt)
+    x2 = _ln(xp_ref[0, 1], lns, lnb, single_pass=single).astype(cdt)
+    w = qkvw_ref[...]
+    b = qkvb_ref[...].astype(cdt)
+    qkv1 = (jnp.dot(x1, w, preferred_element_type=jnp.float32)
+            .astype(cdt) + b)
+    qkv2 = (jnp.dot(x2, w, preferred_element_type=jnp.float32)
+            .astype(cdt) + b)
+    pos = pos_ref[0].astype(cdt) if has_pos else None
+    _eb_combos(qkv1, qkv2, pos, f_ref, num_heads=num_heads,
+               head_dim=head_dim, has_pos=has_pos,
+               cross_features=cross_features,
+               use_single_softmax=use_single_softmax)
+
+
 def _essential_block_x_kernel(x1_ref, x2_ref, qkvw_ref, qkvb_ref, pos_ref,
                               f_ref, *, num_heads, head_dim, has_pos,
                               cross_features, use_single_softmax):
@@ -310,6 +342,52 @@ def _essential_block_x_call(x1, x2, w, b, positional, num_heads,
             transcendentals=B * 4 * num_heads * N * N,
             bytes_accessed=2 * B * N * C * x1.dtype.itemsize),
     )(x1, x2, w, b2, positional)
+
+
+def _essential_block_pair_call(xpair, lns, lnb, w, b, positional, num_heads,
+                               cross_features, use_single_softmax, has_pos,
+                               interpret=False):
+    interpret = _interp(interpret)
+    B, _, N, C = xpair.shape
+    head_dim = C // num_heads
+    e = head_dim + (6 if has_pos else 0)
+    b2 = b.reshape(1, -1)
+    lns2 = lns.reshape(1, -1)
+    lnb2 = lnb.reshape(1, -1)
+    return pl.pallas_call(
+        functools.partial(
+            _essential_block_pair_kernel, num_heads=num_heads,
+            head_dim=head_dim, has_pos=has_pos,
+            cross_features=cross_features,
+            use_single_softmax=use_single_softmax),
+        out_shape=jax.ShapeDtypeStruct((B, 2, num_heads, e, e), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 2, N, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lns2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lnb2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, num_heads, e, e),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * (2 * 3 * C * C
+                               + 2 * num_heads * N * (head_dim + 2 * e)),
+            transcendentals=B * 4 * num_heads * N * N,
+            bytes_accessed=2 * B * N * C * xpair.dtype.itemsize),
+    )(xpair, lns2, lnb2, w, b2, positional)
 
 
 # ------------------------------------------------------------ public op ----
@@ -465,6 +543,103 @@ def _ebx_bwd(num_heads, cross_features, use_single_softmax, has_pos, res, g):
 
 
 _essential_block_x_op.defvjp(_ebx_fwd, _ebx_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _essential_block_pair_op(xpair, lns, lnb, w, b, positional, num_heads,
+                             cross_features, use_single_softmax, has_pos):
+    return _essential_block_pair_call(xpair, lns, lnb, w.astype(xpair.dtype),
+                                      b, positional, num_heads,
+                                      cross_features, use_single_softmax,
+                                      has_pos)
+
+
+def _ebp_fwd(xpair, lns, lnb, w, b, positional, num_heads, cross_features,
+             use_single_softmax, has_pos):
+    out = _essential_block_pair_call(xpair, lns, lnb, w.astype(xpair.dtype),
+                                     b, positional, num_heads,
+                                     cross_features, use_single_softmax,
+                                     has_pos)
+    return out, (xpair, lns, lnb, w, b, positional)
+
+
+def _ebp_bwd(num_heads, cross_features, use_single_softmax, has_pos, res, g):
+    from ..nn.layers import layernorm_apply
+    xpair, lns, lnb, w, b, positional = res
+    # recompute LN + the (cheap) qkv projections, run the fused block
+    # backward, then chain dqkv through the linear and LN VJPs
+    def norm(xx, s, bb):
+        return layernorm_apply({"scale": s, "bias": bb}, xx)
+
+    (y1, y2), ln_vjp = jax.vjp(
+        lambda xp, s, bb: (norm(xp[:, 0], s, bb), norm(xp[:, 1], s, bb)),
+        xpair, lns, lnb)
+    qkv1 = _linear_rounded(y1, w, b)
+    qkv2 = _linear_rounded(y2, w, b)
+    if _use_pallas():
+        from .pallas_essential_block_bwd import essential_block_bwd_call
+        dqkv1, dqkv2, dpos = essential_block_bwd_call(
+            qkv1, qkv2, positional, g.astype(jnp.float32), num_heads,
+            cross_features, use_single_softmax, has_pos)
+    else:
+        _, vjp = jax.vjp(
+            lambda a, c, p: _head_stacked_impl(
+                a, c, p, num_heads, cross_features, use_single_softmax,
+                has_pos),
+            qkv1, qkv2, positional)
+        dqkv1, dqkv2, dpos = vjp(g)
+    wt = w.astype(y1.dtype)
+    dy1 = jnp.dot(dqkv1.astype(y1.dtype), wt.T,
+                  preferred_element_type=jnp.float32).astype(y1.dtype)
+    dy2 = jnp.dot(dqkv2.astype(y1.dtype), wt.T,
+                  preferred_element_type=jnp.float32).astype(y1.dtype)
+    dxpair, dlns, dlnb = ln_vjp((dy1, dy2))
+    dw = (jnp.einsum("bnc,bnk->ck", y1, dqkv1.astype(y1.dtype),
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bnc,bnk->ck", y2, dqkv2.astype(y1.dtype),
+                       preferred_element_type=jnp.float32)).astype(w.dtype)
+    db = (jnp.sum(dqkv1, axis=(0, 1)).astype(jnp.float32)
+          + jnp.sum(dqkv2, axis=(0, 1)).astype(jnp.float32)).astype(b.dtype)
+    return dxpair, dlns, dlnb, dw, db, dpos
+
+
+_essential_block_pair_op.defvjp(_ebp_fwd, _ebp_bwd)
+
+
+def fused_essential_block_pair(xpair, ln_params, qkv_params, positional,
+                               num_heads, cross_features=False,
+                               use_single_softmax=False):
+    """LN-fused pair variant: interleaved RAW tokens ``(B, 2, N, C)`` + the
+    cross block's norm1 params in, ``(B, 2, h, e, e)`` fp32 moment matrices
+    out.  On TPU the input LayerNorm, the x1/x2 split, and the qkv
+    projection all happen in VMEM — neither the pair slices nor the normed
+    tokens nor the qkv tensors ever round-trip HBM.  Other backends
+    compose ``layernorm_apply`` + ``linear_apply`` + the einsum reference.
+
+    Reference chain being fused: ``CrossBlock.forward``'s norm1 + shared
+    qkv (``/root/reference/src/modules/vision_transformer.py:285-296``)."""
+    lns, lnb = ln_params["scale"], ln_params["bias"]
+    w, b = qkv_params["w"], qkv_params["b"]
+    has_pos = positional is not None
+    if _use_pallas():
+        if positional is None:
+            positional = jnp.zeros(
+                (xpair.shape[0], xpair.shape[2], 6), xpair.dtype)
+        else:
+            positional = positional.astype(xpair.dtype)
+        return _maybe_shard_map(
+            lambda xp, s, bb, ww, bb2, p: _essential_block_pair_op(
+                xp, s, bb, ww, bb2, p, num_heads, cross_features,
+                use_single_softmax, has_pos),
+            (xpair, lns, lnb, w, b, positional),
+            (True, False, False, False, False, True))
+    from ..nn.layers import layernorm_apply
+    y1 = layernorm_apply(ln_params, xpair[:, 0])
+    y2 = layernorm_apply(ln_params, xpair[:, 1])
+    qkv1 = _linear_rounded(y1, w, b)
+    qkv2 = _linear_rounded(y2, w, b)
+    return essential_block_reference(qkv1, qkv2, positional, num_heads,
+                                     cross_features, use_single_softmax)
 
 
 def fused_essential_block_x(x1, x2, qkv_params, positional, num_heads,

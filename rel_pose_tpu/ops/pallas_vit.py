@@ -91,7 +91,8 @@ def _ln(x, scale, bias, eps=1e-6, single_pass=False):
 def _vit_stack_kernel(x_ref, pos_ref, ln1s_ref, ln1b_ref, qkvw_ref,
                       qkvb_ref, projw_ref, projb_ref, ln2s_ref, ln2b_ref,
                       fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, o_ref, *rest,
-                      depth, num_heads, head_dim, seq_per_block, stagger):
+                      depth, num_heads, head_dim, seq_per_block, stagger,
+                      channels_first=False):
     # optional second output: per-block input stash (depth, S, N, C) for
     # the training backward kernel (drops its forward-recompute pass)
     xs_ref = rest[0] if rest else None
@@ -99,7 +100,14 @@ def _vit_stack_kernel(x_ref, pos_ref, ln1s_ref, ln1b_ref, qkvw_ref,
     # positional embedding added IN VMEM: as an XLA op its consumer (this
     # kernel) is opaque, so the add materialized a full HBM round trip of
     # the tokens (~0.3 ms at eval batch 256)
-    xb = x_ref[...] + pos_ref[...]                 # (S, N, C) + (1, N, C)
+    xin = x_ref[...]
+    if channels_first:
+        # (S, C, N) input: the extractor conv's natural layout — the XLA
+        # (2B, C, N) -> (2B, N, C) transpose materialized a full HBM
+        # round trip of the tokens (opaque consumer); transposed here in
+        # VMEM instead
+        xin = jnp.swapaxes(xin, -1, -2)
+    xb = xin + pos_ref[...]                        # (S, N, C) + (1, N, C)
     N, C = xb.shape[-2], xb.shape[-1]
     scale = (head_dim ** -0.5) * _LOG2E
     cdt = xb.dtype
@@ -304,9 +312,12 @@ def _const_spec(shape):
 
 
 def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
-                    stash=False, pos=None):
+                    stash=False, pos=None, channels_first=False):
     interpret = _interp(interpret)
-    G, N, C = x.shape
+    if channels_first:
+        G, C, N = x.shape
+    else:
+        G, N, C = x.shape
     head_dim = C // num_heads
     if pos is None:
         pos = jnp.zeros((1, N, C), x.dtype)
@@ -321,7 +332,8 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
     streams = int(os.environ.get("RELPOSE_VIT_STREAMS", "1"))
     stagger = streams > 1 and not stash and G % streams == 0
     S = streams if stagger else 1
-    in_specs = [pl.BlockSpec((S, N, C), lambda g: (g, 0, 0),
+    xblock = (S, C, N) if channels_first else (S, N, C)
+    in_specs = [pl.BlockSpec(xblock, lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
                 _const_spec(pos.shape)]
     args = [x, pos]
@@ -344,7 +356,8 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
     res = pl.pallas_call(
         functools.partial(_vit_stack_kernel, depth=depth,
                           num_heads=num_heads, head_dim=head_dim,
-                          seq_per_block=S, stagger=stagger),
+                          seq_per_block=S, stagger=stagger,
+                          channels_first=channels_first),
         out_shape=out_shape,
         grid=(G // S,),
         in_specs=in_specs,
@@ -390,18 +403,19 @@ def vit_stack_reference(x, stacked, depth, num_heads):
 
 # -------------------------------------------------------------- public op --
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _vit_stack_op(x, stacked, pos, depth, num_heads):
-    return _vit_stack_call(x, stacked, depth, num_heads, pos=pos)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _vit_stack_op(x, stacked, pos, depth, num_heads, channels_first=False):
+    return _vit_stack_call(x, stacked, depth, num_heads, pos=pos,
+                           channels_first=channels_first)
 
 
-def _vit_stack_fwd(x, stacked, pos, depth, num_heads):
+def _vit_stack_fwd(x, stacked, pos, depth, num_heads, channels_first=False):
     o, xs = _vit_stack_call(x, stacked, depth, num_heads, stash=True,
-                            pos=pos)
+                            pos=pos, channels_first=channels_first)
     return o, (xs, stacked, pos)
 
 
-def _vit_stack_bwd(depth, num_heads, res, g):
+def _vit_stack_bwd(depth, num_heads, channels_first, res, g):
     # xs[0] is the post-positional-add block-0 input, so the backward's dx
     # is d/d(x + pos): dx flows to x unchanged and pos takes its
     # grid-sum (the same gradient the XLA-level broadcast add produced).
@@ -422,30 +436,43 @@ def _vit_stack_bwd(depth, num_heads, res, g):
         dx, dstacked = vjp(g)
     dpos = jnp.sum(dx.astype(jnp.float32), axis=0,
                    keepdims=True).astype(pos_dtype)
+    if channels_first:
+        # the input was (G, C, N); its cotangent mirrors the VMEM
+        # transpose (one XLA transpose in the backward replaces the one
+        # the forward no longer pays — train-neutral, eval-positive)
+        dx = jnp.swapaxes(dx, -1, -2)
     return dx, dstacked, dpos
 
 
 _vit_stack_op.defvjp(_vit_stack_fwd, _vit_stack_bwd)
 
 
-def fused_vit_stack(x, blocks, num_heads, pos=None):
-    """Apply all self-attention blocks.  x: (G, N, C); blocks: list of block
-    param dicts; pos: optional (1, N, C) positional embedding added to x
-    (fused into the kernel — as a separate XLA op the add pays a full HBM
-    round trip of the tokens).  Pallas megakernel on TPU, unfused path
-    elsewhere."""
+def fused_vit_stack(x, blocks, num_heads, pos=None, channels_first=False):
+    """Apply all self-attention blocks.  x: (G, N, C) tokens — or the
+    extractor's natural (G, C, N) with ``channels_first=True``, in which
+    case the kernel transposes in VMEM and the XLA token transpose (a full
+    HBM round trip, the kernel being an opaque consumer) disappears.
+    blocks: list of block param dicts; pos: optional (1, N, C) positional
+    embedding added to x (also fused into the kernel).  Pallas megakernel
+    on TPU, unfused path elsewhere."""
     depth = len(blocks)
+    if not _use_pallas() and channels_first:
+        x = jnp.swapaxes(x, -1, -2)
+        channels_first = False
     if depth == 0:
         return x if pos is None else x + pos.astype(x.dtype)
     stacked = stack_block_params(blocks)
     if _use_pallas():
         stacked = {k: v.astype(x.dtype) for k, v in stacked.items()}
         if pos is None:
-            pos = jnp.zeros((1,) + x.shape[1:], x.dtype)
+            N = x.shape[-1] if channels_first else x.shape[-2]
+            C = x.shape[-2] if channels_first else x.shape[-1]
+            pos = jnp.zeros((1, N, C), x.dtype)
         # under a data-parallel scope the kernel is explicitly partitioned
         # over the batch (grid) axis; params/pos replicate per shard
         return _maybe_shard_map(
-            lambda xx, ss, pp: _vit_stack_op(xx, ss, pp, depth, num_heads),
+            lambda xx, ss, pp: _vit_stack_op(xx, ss, pp, depth, num_heads,
+                                             channels_first),
             (x, stacked, pos), (True, False, False))
     if pos is not None:
         x = x + pos.astype(x.dtype)

@@ -47,6 +47,12 @@ RELPOSE_VIT_PACK_HEADS=1 python bench.py || true
 stage "8. A/B: essential-kernel bf16 MXU normalizers (RELPOSE_EB_MXU_NORM=1)"
 RELPOSE_EB_MXU_NORM=1 python bench.py || true
 
+stage "8b. A/B: channels-first ViT ingest (RELPOSE_VIT_CF=1)"
+RELPOSE_VIT_CF=1 python bench.py || true
+
+stage "8c. A/B: LN-fused essential pair kernel is the new default — its OFF lever"
+RELPOSE_EB_NO_PAIR=1 python bench.py || true
+
 stage "9. A/B: conv layout probe (queued from round 3)"
 python scripts/bench_convlayout.py || true
 

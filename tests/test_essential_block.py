@@ -181,3 +181,122 @@ class TestEssentialBlockXOp:
                                 (dp, r[4], "dpos")]:
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=3e-5, err_msg=name)
+
+
+class TestEssentialBlockPairOp:
+    """LN-fused pair variant: norm1 + pair split + qkv inside the kernel."""
+
+    def _params(self):
+        C = H * D
+        w = _rand(C, 3 * C) * 0.2
+        b = _rand(3 * C) * 0.1
+        lns = 1.0 + _rand(C) * 0.1
+        lnb = _rand(C) * 0.1
+        return {"w": w, "b": b}, lns, lnb
+
+    def _ref(self, p, lns, lnb, xp, positional, cross=False, single=False):
+        from rel_pose_tpu.nn.layers import layernorm_apply
+        ln = {"scale": lns, "bias": lnb}
+        y1 = layernorm_apply(ln, xp[:, 0])
+        y2 = layernorm_apply(ln, xp[:, 1])
+        qkv1 = jnp.dot(y1, p["w"]) + p["b"]
+        qkv2 = jnp.dot(y2, p["w"]) + p["b"]
+        return essential_block_reference(qkv1, qkv2, positional, H,
+                                         cross_features=cross,
+                                         use_single_softmax=single)
+
+    def test_forward_kernel_matches(self):
+        from rel_pose_tpu.ops.pallas_essential_block import (
+            _essential_block_pair_call)
+        C = H * D
+        p, lns, lnb = self._params()
+        xp = _rand(B, 2, N, C)
+        positional = _rand(B, N, 6)
+        ref = self._ref(p, lns, lnb, xp, positional)
+        out = _essential_block_pair_call(xp, lns, lnb, p["w"], p["b"],
+                                         positional, H, False, False, True,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_forward_flag_paths(self):
+        from rel_pose_tpu.ops.pallas_essential_block import (
+            _essential_block_pair_call)
+        C = H * D
+        p, lns, lnb = self._params()
+        xp = _rand(B, 2, N, C)
+        positional = _rand(B, N, 6)
+        for cross, single, pos in [(True, False, True), (False, True, True),
+                                   (False, False, False)]:
+            ref = self._ref(p, lns, lnb, xp, positional if pos else None,
+                            cross=cross, single=single)
+            p_arr = positional if pos else jnp.zeros((B, N, 6))
+            out = _essential_block_pair_call(xp, lns, lnb, p["w"], p["b"],
+                                             p_arr, H, cross, single, pos,
+                                             interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-4,
+                err_msg=f"cross={cross} single={single} pos={pos}")
+
+    def test_backward_matches_autodiff(self):
+        from rel_pose_tpu.ops.pallas_essential_block import _ebp_bwd
+        from rel_pose_tpu.nn.layers import layernorm_apply
+        C = H * D
+        p, lns, lnb = self._params()
+        xp = _rand(B, 2, N, C)
+        positional = _rand(B, N, 6)
+        g = _rand(B, 2, H, D + 6, D + 6)
+
+        dxp, dlns, dlnb, dw, db, dp = _ebp_bwd(
+            H, False, False, True,
+            (xp, lns, lnb, p["w"], p["b"], positional), g)
+
+        def loss(xx, s, bb, w, b, pos):
+            ln = {"scale": s, "bias": bb}
+            qkv1 = jnp.dot(layernorm_apply(ln, xx[:, 0]), w) + b
+            qkv2 = jnp.dot(layernorm_apply(ln, xx[:, 1]), w) + b
+            return jnp.sum(
+                essential_block_reference(qkv1, qkv2, pos, H) * g)
+
+        r = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+            xp, lns, lnb, p["w"], p["b"], positional)
+        for got, want, name in [(dxp, r[0], "dxpair"), (dlns, r[1], "dlns"),
+                                (dlnb, r[2], "dlnb"), (dw, r[3], "dw"),
+                                (db, r[4], "db"), (dp, r[5], "dpos")]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-5, err_msg=name)
+
+    def test_public_op_gradients_interpret(self, monkeypatch):
+        """Full custom-VJP path (fused bwd kernel) through interpret mode."""
+        monkeypatch.setenv("RELPOSE_PALLAS_INTERPRET", "1")
+        from rel_pose_tpu.ops.pallas_essential_block import (
+            fused_essential_block_pair)
+        from rel_pose_tpu.nn.layers import layernorm_apply as \
+            layernorm_apply_ref
+        C = H * D
+        p, lns, lnb = self._params()
+        xp = _rand(B, 2, N, C)
+        positional = _rand(B, N, 6)
+        g = _rand(B, 2, H, D + 6, D + 6)
+        ln = {"scale": lns, "bias": lnb}
+
+        def loss(xx, lp, qp, pos):
+            return jnp.sum(fused_essential_block_pair(
+                xx, lp, qp, pos, H).astype(jnp.float32) * g)
+
+        out = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            xp, ln, {"w": p["w"], "b": p["b"]}, positional)
+
+        def ref_loss(xx, lp, qp, pos):
+            y1 = layernorm_apply_ref(lp, xx[:, 0])
+            y2 = layernorm_apply_ref(lp, xx[:, 1])
+            qkv1 = jnp.dot(y1, qp["w"]) + qp["b"]
+            qkv2 = jnp.dot(y2, qp["w"]) + qp["b"]
+            return jnp.sum(
+                essential_block_reference(qkv1, qkv2, pos, H) * g)
+
+        ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(
+            xp, ln, {"w": p["w"], "b": p["b"]}, positional)
+        for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)

@@ -82,3 +82,20 @@ def test_full_model_fused_grads_match_unfused(tiny_setup, monkeypatch):
     # and the fused path must actually have been exercised
     leaves = jax.tree.leaves(g_fused)
     assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def test_full_model_channels_first_grads_match(tiny_setup, monkeypatch):
+    """RELPOSE_VIT_CF=1 (ViT kernel ingests the extractor's (2B, C, N)
+    layout, VMEM transpose) through the FULL model: forward+backward must
+    match the standard fused path bit-for-bit up to fp32 op-order noise."""
+    loss_fn, params, bn_state, images, poses, intr = tiny_setup
+    g_cf = _grad(loss_fn, params, bn_state, images, poses, intr,
+                 {"RELPOSE_PALLAS_INTERPRET": "1", "RELPOSE_VIT_CF": "1"},
+                 monkeypatch)
+    g_stock = _grad(loss_fn, params, bn_state, images, poses, intr,
+                    {"RELPOSE_NO_PALLAS": "1"}, monkeypatch)
+    ok, failures, rows, _ = triangulate(
+        g_cf, g_stock, g_stock,
+        headroom=1.0, normrel_tol=1e-4, cos_min=0.9999)
+    report("channels-first fused vs unfused XLA", rows)
+    assert ok, "\n".join(failures)

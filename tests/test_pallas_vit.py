@@ -69,6 +69,47 @@ class TestVitStackKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_kernel_channels_first_matches_reference(self):
+        """channels_first=True ((G, C, N) input, VMEM transpose) must equal
+        the standard layout on the transposed input."""
+        dim, heads, depth = 192, 3, 2
+        blocks = make_blocks(depth, dim, heads)
+        x = jnp.asarray(
+            RNG.standard_normal((2, 64, dim)).astype(np.float32) * 0.5)
+        stacked = stack_block_params(blocks)
+        ref = vit_stack_reference(x, stacked, depth, heads)
+        out = _vit_stack_call(jnp.swapaxes(x, 1, 2), stacked, depth, heads,
+                              interpret=True, channels_first=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_channels_first_gradients(self, monkeypatch):
+        """Full custom-VJP path with channels_first: grads wrt the (G, C, N)
+        input are the transposed standard grads; weight/pos grads match."""
+        monkeypatch.setenv("RELPOSE_PALLAS_INTERPRET", "1")
+        from rel_pose_tpu.ops.pallas_vit import fused_vit_stack
+        dim, heads, depth = 96, 3, 2
+        blocks = make_blocks(depth, dim, heads)
+        x = jnp.asarray(
+            RNG.standard_normal((2, 64, dim)).astype(np.float32) * 0.5)
+        pos = jnp.asarray(
+            RNG.standard_normal((1, 64, dim)).astype(np.float32) * 0.1)
+        g = jnp.asarray(RNG.standard_normal((2, 64, dim)).astype(np.float32))
+
+        def loss_nc(xx, bb, pp):
+            return jnp.sum(fused_vit_stack(xx, bb, heads, pos=pp) * g)
+
+        def loss_cf(xx, bb, pp):
+            return jnp.sum(fused_vit_stack(
+                jnp.swapaxes(xx, 1, 2), bb, heads, pos=pp,
+                channels_first=True) * g)
+
+        ref = jax.grad(loss_nc, argnums=(0, 1, 2))(x, blocks, pos)
+        out = jax.grad(loss_cf, argnums=(0, 1, 2))(x, blocks, pos)
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
     def test_custom_vjp_backward(self):
         from rel_pose_tpu.ops.pallas_vit import _vit_stack_bwd
         dim, heads, depth = 96, 3, 2
@@ -82,7 +123,7 @@ class TestVitStackKernel:
         _, xs = _vit_stack_call(x, stacked, depth, heads, interpret=True,
                                 stash=True)
         dx, dstacked, dpos = _vit_stack_bwd(
-            depth, heads, (xs, stacked, jnp.zeros((1, 64, dim))), g)
+            depth, heads, False, (xs, stacked, jnp.zeros((1, 64, dim))), g)
         np.testing.assert_allclose(np.asarray(dpos[0]),
                                    np.asarray(dx).sum(0), atol=1e-5)
         # reference grads via direct autodiff
