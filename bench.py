@@ -35,8 +35,8 @@ def bench_train():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
-    from rel_pose_tpu.utils.platform import enable_compilation_cache
-    enable_compilation_cache()
+    from rel_pose_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honors RELPOSE_PLATFORM; also enables the compile cache
 
     import jax
     import jax.numpy as jnp
@@ -101,8 +101,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
 
-    from rel_pose_tpu.utils.platform import enable_compilation_cache
-    enable_compilation_cache()
+    from rel_pose_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honors RELPOSE_PLATFORM; also enables the compile cache
 
     import jax
     import jax.numpy as jnp
