@@ -20,9 +20,21 @@ import sys
 
 def main():
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    # optional 4th arg: "fused" runs the Pallas kernels (interpret mode on
+    # CPU) under the multi-process mesh at a reduced geometry; "unfused"
+    # is the same geometry on the stock XLA path (the comparison target);
+    # default is the original full-geometry DDP smoke.
+    mode = sys.argv[4] if len(sys.argv) > 4 else "ddp"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2")
     os.environ.pop("JAX_PLATFORMS", None)
+    if mode == "fused":
+        # engages every fused kernel through pl.pallas_call(interpret=True)
+        # while shard_map partitions them over the 2-process global mesh —
+        # the exact composition a real multi-chip pod runs (minus Mosaic)
+        os.environ["RELPOSE_PALLAS_INTERPRET"] = "1"
+    elif mode == "unfused":
+        os.environ["RELPOSE_NO_PALLAS"] = "1"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -39,7 +51,15 @@ def main():
     from rel_pose_tpu.parallel import make_mesh, shard_batch, replicate
     from rel_pose_tpu.train import TrainState, make_optimizer, make_train_step
 
-    cfg = ModelConfig(transformer_depth=2)
+    if mode == "ddp":
+        cfg = ModelConfig(transformer_depth=2)
+    else:
+        # reduced geometry (interpret-mode kernels are CPU-traced JAX;
+        # production 24x24 costs ~10 min/step) — same config as
+        # tests/test_grad_triangulation.py
+        cfg = ModelConfig(compute_dtype="float32", transformer_depth=2,
+                          feature_height=8, feature_width=8, pool_size=8,
+                          fc_hidden_size=64)
     params, bn_state = vitess_init(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(lr=1e-3, steps=100, warmup=10)
     state = TrainState.create(params, bn_state, tx)

@@ -64,6 +64,48 @@ def test_two_process_train_step():
     assert math.isfinite(losses[0])
 
 
+def _run_cluster(mode, port):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), "2", mode],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"{mode} worker {pid} failed:\n{out}"
+        m = re.search(rf"MULTIHOST_OK pid={pid} step=1 loss=([-\d.e]+)", out)
+        assert m, f"{mode} worker {pid} missing OK line:\n{out}"
+        losses.append(float(m.group(1)))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6), mode
+    return losses[0]
+
+
+def test_two_process_fused_kernels_match_unfused():
+    """The FUSED Pallas path (interpret mode) under a real 2-process
+    jax.distributed mesh: shard_map partitions every fused op over the
+    4-device global 'data' axis, and the resulting loss must match the
+    stock-XLA path on the same global batch (r3 verdict: the fused x
+    multi-process composition was never exercised anywhere)."""
+    fused = _run_cluster("fused", _free_port())
+    unfused = _run_cluster("unfused", _free_port())
+    # fp32 interpret kernels differ from stock XLA only by op-order
+    # rounding (exp2 softmax, fused LN) — parts in 1e5
+    assert fused == pytest.approx(unfused, rel=1e-4)
+
+
 def _read_results(path):
     out = {}
     with open(path) as f:
