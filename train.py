@@ -164,9 +164,39 @@ def main():
                                  remat=args.remat)
     eval_step = make_eval_step(cfg, args.w_tr, args.w_rot, mesh=mesh)
 
-    from rel_pose_tpu.utils.profiling import StepTimer
+    from rel_pose_tpu.utils.profiling import StepTimer, estimate_step_flops
     logger = Logger(args.name, schedule)
-    timer = StepTimer(pairs_per_step=global_batch, num_chips=mesh.size)
+    # MFU: achieved model FLOPs (matmul/conv, fwd+bwd, counted from the
+    # abstract trace — no compile) over the chip's peak.  Peak comes from
+    # RELPOSE_PEAK_TFLOPS; defaults to the v5e bf16 MXU peak on TPU +
+    # bf16, else MFU is omitted rather than guessed.
+    peak_env = os.environ.get("RELPOSE_PEAK_TFLOPS")
+    if peak_env:
+        peak_flops = float(peak_env) * 1e12
+    elif (jax.devices()[0].platform == "tpu"
+          and cfg.compute_dtype == "bfloat16"):
+        peak_flops = 197e12
+    else:
+        peak_flops = None
+    step_flops = None
+    if peak_flops:
+        from rel_pose_tpu.train.step import make_loss_fn
+        lf = make_loss_fn(cfg, args.w_tr, args.w_rot, "train")
+
+        def _step_math(p, b, im, po, ii):
+            return jax.value_and_grad(lf, has_aux=True)(p, b, im, po, ii,
+                                                        True)
+
+        sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (state.params, state.bn_state))
+        step_flops = estimate_step_flops(
+            _step_math, sds[0], sds[1],
+            jax.ShapeDtypeStruct((global_batch, 2, 3, 384, 512), jnp.uint8),
+            jax.ShapeDtypeStruct((global_batch, 2, 7), jnp.float32),
+            jax.ShapeDtypeStruct((global_batch, 2, 4), jnp.float32))
+    timer = StepTimer(pairs_per_step=global_batch, num_chips=mesh.size,
+                      flops_per_step=step_flops, peak_flops=peak_flops)
     train_steps = int(jax.device_get(state.step))
     subepoch = 0
     epoch_count = 0
@@ -217,6 +247,8 @@ def main():
             if is_training:
                 host_metrics["pairs_per_sec_per_chip"] = \
                     timer.pairs_per_sec_per_chip
+                if timer.mfu is not None:
+                    host_metrics["mfu"] = timer.mfu
             logger.push(host_metrics)
             if i_batch % 20 == 0:
                 np.set_printoptions(suppress=True, linewidth=150)
