@@ -42,6 +42,53 @@ def save_checkpoint(path, tree):
     os.replace(tmp, path)
 
 
+class AsyncCheckpointer:
+    """Background checkpoint writer (orbax-style async save).
+
+    ``save()`` pulls the state device->host on the caller's thread (one
+    queue drain — unavoidable), then hands the host tree to a single
+    worker thread for msgpack serialization and the atomic write+rename,
+    so the slow part (~100 MB for the full train state) overlaps the next
+    training steps instead of stalling the step loop.
+
+    At most one save is in flight: ``save()`` first waits for (and
+    re-raises errors from) the previous write, so a crash can lose at most
+    the newest checkpoint and on-disk files are always complete
+    (``os.replace`` is atomic).  Call ``close()`` (or ``wait()``) before
+    process exit.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        self._ex = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="ckpt-writer")
+        self._fut = None
+
+    def save(self, path, tree):
+        host = jax.tree.map(np.asarray, tree)
+        self.wait()
+        self._fut = self._ex.submit(self._write, path, host)
+
+    @staticmethod
+    def _write(path, host):
+        data = serialization.to_bytes(host)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def wait(self):
+        """Block until the in-flight write (if any) finishes; re-raises its
+        error."""
+        if self._fut is not None:
+            fut, self._fut = self._fut, None
+            fut.result()
+
+    def close(self):
+        self.wait()
+        self._ex.shutdown()
+
+
 def load_checkpoint(path, template):
     """Deserialize into the structure of ``template`` (same pytree shape the
     trainer builds from scratch)."""

@@ -1,6 +1,7 @@
 """Training runtime tests: optimizer parity vs torch, and the full
 data-parallel train step on the virtual 8-device CPU mesh."""
 
+import os
 import numpy as np
 import torch
 import jax
@@ -178,3 +179,36 @@ def test_allgather_ragged_single_process():
     assert out["t"].dtype == np.float32
     empty = allgather_ragged({"t": ([], 3)})
     assert empty["t"].shape == (0, 3)
+
+
+class TestAsyncCheckpointer:
+    def test_roundtrip_and_overlap(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from rel_pose_tpu.train.checkpoint import (AsyncCheckpointer,
+                                                   load_checkpoint)
+        tree = {"a": jnp.arange(8, dtype=jnp.float32),
+                "b": {"c": jnp.ones((3, 3))}}
+        w = AsyncCheckpointer()
+        p1 = str(tmp_path / "000001.ckpt")
+        p2 = str(tmp_path / "000002.ckpt")
+        w.save(p1, tree)
+        # second save waits for the first, so both land complete
+        w.save(p2, jax.tree.map(lambda x: x * 2, tree))
+        w.close()
+        back1 = load_checkpoint(p1, jax.tree.map(np.asarray, tree))
+        back2 = load_checkpoint(p2, jax.tree.map(np.asarray, tree))
+        np.testing.assert_array_equal(back1["a"],
+                                      np.arange(8, dtype=np.float32))
+        np.testing.assert_array_equal(back2["b"]["c"], 2 * np.ones((3, 3)))
+        # no stray .tmp files (writes are atomic renames)
+        assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+    def test_write_error_surfaces(self, tmp_path):
+        from rel_pose_tpu.train.checkpoint import AsyncCheckpointer
+        import pytest as _pytest
+        w = AsyncCheckpointer()
+        w.save(str(tmp_path / "no_such_dir" / "x.ckpt"), {"a": np.ones(2)})
+        with _pytest.raises(OSError):
+            w.wait()
+        w.close()

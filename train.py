@@ -81,7 +81,7 @@ def main():
     from rel_pose_tpu.train import (
         TrainState, make_optimizer, make_train_step, make_eval_step, Logger,
         save_checkpoint, load_checkpoint, checkpoint_path,
-        find_resume_checkpoint, ensure_output_dirs,
+        find_resume_checkpoint, ensure_output_dirs, AsyncCheckpointer,
     )
 
     maybe_init_distributed()
@@ -197,6 +197,7 @@ def main():
             jax.ShapeDtypeStruct((global_batch, 2, 4), jnp.float32))
     timer = StepTimer(pairs_per_step=global_batch, num_chips=mesh.size,
                       flops_per_step=step_flops, peak_flops=peak_flops)
+    ckpt_writer = AsyncCheckpointer()
     train_steps = int(jax.device_get(state.step))
     subepoch = 0
     epoch_count = 0
@@ -284,13 +285,14 @@ def main():
 
             if (is_training and train_steps % args.ckpt_every == 0
                     and jax.process_index() == 0):
-                save_checkpoint(checkpoint_path(args.name, train_steps),
-                                jax.device_get(state))
+                # async: serialization + disk write overlap the next steps
+                ckpt_writer.save(checkpoint_path(args.name, train_steps),
+                                 jax.device_get(state))
 
             if train_steps >= args.steps:
                 if jax.process_index() == 0:
-                    save_checkpoint(checkpoint_path(args.name, train_steps),
-                                    jax.device_get(state))
+                    ckpt_writer.save(checkpoint_path(args.name, train_steps),
+                                     jax.device_get(state))
                 should_keep_training = False
                 break
 
@@ -304,6 +306,7 @@ def main():
             subepoch = 0
             epoch_count += 1
 
+    ckpt_writer.close()   # drain the in-flight write (re-raises IO errors)
     print("finished training!")
     logger.close()
 
