@@ -131,9 +131,14 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
             # normalizers recovered as BF16 MXU matvecs (lr = F @ 2^(mc/2)
             # shifted, lc = 2^(mr/2) @ F) instead of VPU sums.  The round-3
             # fp32 version of this was measured-and-rejected (fp32 matvecs
-            # serialize against the AV matmul); this bf16 variant is the
+            # serialize against the AV matmul); this bf16 variant was the
             # VERDICT-r4 data point: one exp2 pass and two VPU reduction
             # traversals removed, at ~bf16-resolution normalizer error.
+            # MEASURED-AND-REJECTED on v5e (eval bf16 batch 256):
+            # 6,204 vs 6,364 pairs/s default — even bf16 matvecs riding
+            # the kernel's matmul slots serialize on the MXU against the
+            # AV contraction; the VPU row/col sums overlap it for free.
+            # Lever kept (default off) as the recorded data point.
             mxu_norm = (bool(os.environ.get("RELPOSE_EB_MXU_NORM"))
                         and q.dtype == jnp.bfloat16
                         and not use_single_softmax)
@@ -145,14 +150,19 @@ def _eb_combos(qkv1, qkv2, pos, f_ref, *, num_heads, head_dim, has_pos,
                 F = jnp.exp2(s - 0.5 * (mr + mc))            # <= 1
                 Fb = F.astype(jnp.bfloat16)
                 P = (F * F).astype(vb.dtype)
-                u = jnp.exp2(0.5 * (mc - Mc)).astype(jnp.bfloat16)
-                wv = jnp.exp2(0.5 * (mr - Mr)).astype(jnp.bfloat16)
+                # reshape BEFORE the bf16 cast: Mosaic cannot insert a
+                # minor dim on sub-32-bit vectors ((1,N)bf16 -> (N,1)bf16
+                # is a hardware-relayout reshape it refuses to lower)
+                u = jnp.exp2(0.5 * (mc - Mc)).reshape(-1, 1) \
+                    .astype(jnp.bfloat16)
+                wv = jnp.exp2(0.5 * (mr - Mr)).reshape(1, -1) \
+                    .astype(jnp.bfloat16)
                 lr = jax.lax.dot_general(
-                    Fb, u.reshape(-1, 1), (((1,), (0,)), ((), ())),
+                    Fb, u, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) \
                     * jnp.exp2(0.5 * (Mc - mr))              # (N, 1)
                 lc = jax.lax.dot_general(
-                    wv.reshape(1, -1), Fb, (((1,), (0,)), ((), ())),
+                    wv, Fb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) \
                     * jnp.exp2(0.5 * (Mr - mc))              # (1, N)
                 vb_n = (vb.astype(jnp.float32)
