@@ -21,7 +21,7 @@ from rel_pose_tpu.config import add_model_flags, model_config_from_args
 from rel_pose_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
-from rel_pose_tpu.data.base import image_read
+from rel_pose_tpu.data.base import image_read, image_read_cached
 
 DEPTH_SCALE = 5
 
@@ -156,13 +156,22 @@ def main():
     predictions = {"camera": {"preds": {"tran": [], "rot": []},
                               "gts": {"tran": [], "rot": []}}}
 
+    # host decode levers (opt-in, data/base.py): RELPOSE_DECODE_REDUCE=k
+    # decodes at 1/k scale (the in-graph nearest_resize to 384x512 below
+    # restores the model-input geometry, so intrinsics semantics are
+    # unchanged); RELPOSE_DECODE_CACHE_MB bounds an LRU of decoded images
+    # (Matterport reuses images across pairs within a scene).
+    reduce = int(os.environ.get("RELPOSE_DECODE_REDUCE", "1"))
+    if reduce > 1:
+        print(f"decoding at 1/{reduce} scale (RELPOSE_DECODE_REDUCE)")
+
     def load_pair(entry):
         imgs = []
         for imgnum in ("0", "1"):
             name = os.path.join(
                 args.datapath,
                 "/".join(str(entry[imgnum]["file_name"]).split("/")[6:]))
-            imgs.append(image_read(name))
+            imgs.append(image_read_cached(name, reduce))
         # stay uint8 end-to-end: 4x less host->device transfer; the model's
         # in-graph cast makes the poses bitwise-identical (0-255 integers
         # are exact in both fp32 and bf16)

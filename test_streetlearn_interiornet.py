@@ -18,7 +18,7 @@ from rel_pose_tpu.config import add_model_flags, model_config_from_args
 from rel_pose_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
-from rel_pose_tpu.data.base import image_read
+from rel_pose_tpu.data.base import image_read, image_read_cached
 from rel_pose_tpu.geom.quaternion import (
     quat_to_matrix, relative_rotation_from_viewpoints,
     geodesic_angle_from_matrices,
@@ -183,12 +183,18 @@ def main():
         pass
     decode_ex = ThreadPoolExecutor(max_workers=workers)
 
+    # decode-cache lever only (RELPOSE_DECODE_CACHE_MB): unlike the
+    # Matterport CLI there is no fixed-size in-graph resize here — the
+    # model sees the native resolution, so a reduced-scale decode would
+    # change the input geometry; reduce is deliberately not honored.
     def load_pair(item):
         _, rec = item
-        img1 = image_read(os.path.join(args.datapath, "data",
-                                       args.dataset, rec["img1"]["path"]))
-        img2 = image_read(os.path.join(args.datapath, "data",
-                                       args.dataset, rec["img2"]["path"]))
+        img1 = image_read_cached(os.path.join(args.datapath, "data",
+                                              args.dataset,
+                                              rec["img1"]["path"]))
+        img2 = image_read_cached(os.path.join(args.datapath, "data",
+                                              args.dataset,
+                                              rec["img2"]["path"]))
         # stay uint8 end-to-end: 4x less host->device transfer; the model's
         # in-graph cast makes the poses bitwise-identical
         return np.ascontiguousarray(

@@ -17,15 +17,35 @@ import cv2
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(args, cwd):
+def run_cli(args, cwd, extra_env=None):
     env = dict(os.environ)
     env["RELPOSE_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = REPO
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
                           capture_output=True, text=True, timeout=1200)
 
 
-def make_matterport_tree(root, n=4, hw=(120, 160)):
+def _smooth_image(rng, hw):
+    """Band-limited test image: low-frequency sinusoids + gradient, so a
+    reduced-scale decode -> upsample chain stays close to the full-decode
+    pixels (period >> the 2-px nearest-neighbor displacement)."""
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    chans = []
+    for _ in range(3):
+        fx, fy = rng.uniform(0.5, 2.0, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        img = (np.sin(2 * np.pi * fx * xx / w + px)
+               * np.sin(2 * np.pi * fy * yy / h + py)
+               + xx / w * rng.uniform(-1, 1) + yy / h * rng.uniform(-1, 1))
+        lo, hi = img.min(), img.max()
+        chans.append((img - lo) / (hi - lo + 1e-9) * 255)
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def make_matterport_tree(root, n=4, hw=(120, 160), smooth=False):
     rng = np.random.default_rng(0)
     entries = []
     for i in range(n):
@@ -34,7 +54,9 @@ def make_matterport_tree(root, n=4, hw=(120, 160)):
             rel = f"imgs/s{i}_{j}.png"
             path = os.path.join(root, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            cv2.imwrite(path, rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+            img = (_smooth_image(rng, hw) if smooth else
+                   rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+            cv2.imwrite(path, img)
             files.append("a/b/c/d/e/f/" + rel)
         entries.append({
             "0": {"file_name": files[0]},
@@ -176,6 +198,61 @@ class TestStreetlearnInteriornetCLI:
                                "results.txt")
         assert os.path.exists(results)
         assert "rotation_geodesic_error" in open(results).read()
+
+
+def _read_results(path):
+    out = {}
+    for line in open(path).read().strip().splitlines():
+        k, v = line.rsplit(" ", 1)
+        out[k] = float(v)
+    return out
+
+
+class TestDecodeLeverEvalParity:
+    """The opt-in host decode levers (``RELPOSE_DECODE_REDUCE`` +
+    ``RELPOSE_DECODE_CACHE_MB``, ``data/base.py``) through the REAL
+    Matterport eval CLI: a 1/2-scale decode feeds the same in-graph
+    384x512 resize, so on band-limited content the eval metrics must track
+    the full-decode run closely.  This is the metric-parity validation the
+    lever's docstring gates its default-off status on."""
+
+    def test_reduce2_metric_parity(self, tmp_path):
+        wd = str(tmp_path)
+        make_matterport_tree(os.path.join(wd, "matterport"), n=3,
+                             hw=(240, 320), smooth=True)
+        r = run_cli([os.path.join(REPO, "train.py"),
+                     "--name", "lever", "--datapath", "matterport",
+                     "--dataset", "matterport", "--batch", "2", "--no_ddp",
+                     "--steps", "1", "--ckpt_every", "1",
+                     "--warmup", "1", "--num_workers", "1"] + MODEL_FLAGS,
+                    cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        ckpt = os.path.join(wd, "output", "lever", "checkpoints",
+                            "000001.ckpt")
+
+        metrics = {}
+        for tag, env in (("full", None),
+                         ("reduce", {"RELPOSE_DECODE_REDUCE": "2",
+                                     "RELPOSE_DECODE_CACHE_MB": "64"})):
+            r = run_cli([os.path.join(REPO, "test_matterport.py"),
+                         "--exp", f"lever_{tag}", "--datapath", "matterport",
+                         "--ckpt", ckpt, "--batch", "3"] + MODEL_FLAGS,
+                        cwd=wd, extra_env=env)
+            assert r.returncode == 0, r.stderr[-3000:]
+            if env:
+                assert "decoding at 1/2 scale" in r.stdout
+            metrics[tag] = _read_results(os.path.join(
+                wd, "output", f"lever_{tag}", "matterport_test",
+                "results.txt"))
+
+        full, red = metrics["full"], metrics["reduce"]
+        assert set(full) == set(red)
+        for k in full:
+            assert np.isfinite(red[k]), (k, red)
+        # error metrics are dominated by the (1-step) model; the two runs
+        # differ only through decode resampling of smooth content
+        assert abs(full["R mean err"] - red["R mean err"]) <= 3.0, metrics
+        assert abs(full["T mean err"] - red["T mean err"]) <= 0.3, metrics
 
 
 class TestEpipolarCLI:
