@@ -27,14 +27,8 @@ from rel_pose_tpu.ops.image import nearest_resize
 
 def load_params(ckpt, cfg):
     """Load (params, bn_state) from a native .ckpt or a reference .pth."""
-    if ckpt.endswith(".pth"):
-        from rel_pose_tpu.utils.convert import load_torch_checkpoint
-        return load_torch_checkpoint(ckpt, cfg)
-    from rel_pose_tpu.models import vitess_init
-    from rel_pose_tpu.train.checkpoint import load_params_only
-    import jax
-    params, state = vitess_init(jax.random.PRNGKey(0), cfg)
-    return load_params_only(ckpt, params, state)
+    from rel_pose_tpu.infer import load_checkpoint_params
+    return load_checkpoint_params(ckpt, cfg)
 
 
 def main():

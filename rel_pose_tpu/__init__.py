@@ -33,4 +33,7 @@ def __getattr__(name):
     if name == "geodesic_loss":
         from .geom import geodesic_loss
         return geodesic_loss
+    if name in ("PosePredictor", "load_checkpoint_params"):
+        from . import infer
+        return getattr(infer, name)
     raise AttributeError(f"module 'rel_pose_tpu' has no attribute {name!r}")
