@@ -10,7 +10,9 @@ compiles the forward once, and then serves arbitrary batches.
 + the checkpoint loaders), adding the serving conveniences:
 
   * one fixed compiled batch shape (``batch_size=...``): requests are
-    padded/chunked to it, so XLA compiles exactly once;
+    padded/chunked to it, so a fixed-resolution request stream compiles
+    exactly once (the compiled shape also depends on the input H x W —
+    see :meth:`PosePredictor.warmup`);
   * automatic data-parallel sharding over all local TPU chips when the
     batch divides them (eval-mode BN makes DP inference result-identical);
   * uint8 images end-to-end (4x less host->device traffic; the model's
@@ -95,9 +97,11 @@ class PosePredictor:
         ``(2, 4)`` per-image, or ``(B, 2, 4)`` per-pair; overridable per
         call.  No silent default: predictions depend on it through the
         epipolar positional encoding (ref ``src/model.py:100-109``).
-    batch_size : fixed compiled batch.  Calls are padded/chunked to it
-        (one XLA compilation ever).  ``None`` compiles per distinct
-        request shape (fine for offline use; set it for serving).
+    batch_size : fixed compiled batch.  Calls are padded/chunked to it,
+        so a fixed-resolution request stream triggers one XLA
+        compilation (per distinct input H x W).  ``None`` compiles per
+        distinct request shape (fine for offline use; set it for
+        serving).
     image_size : optional in-graph nearest-resize target (H, W) applied
         before the model, mirroring the eval CLIs' 384x512 Matterport
         resize (the model itself then resizes to its 224x224 input, ref
@@ -195,6 +199,8 @@ class PosePredictor:
         pinned to the identity — ref ``src/model.py:145-159``)."""
         images = self._as_images(images)
         B = images.shape[0]
+        if B == 0:
+            return np.zeros((0, 2, 7), np.float32)
         intr = self._intr_for(B, intrinsics)
         K = self.batch_size
         if K is None:
@@ -217,12 +223,33 @@ class PosePredictor:
         """One HWC-BGR image pair -> (2, 7) pose."""
         return self.predict_batch([(img1, img2)], intrinsics)[0]
 
-    def warmup(self, height=480, width=640):
+    def warmup(self, height=None, width=None):
         """Trigger the (slow, one-time) XLA compilation with a dummy batch
-        so the first real request is served at steady-state latency."""
+        so the first real request is served at steady-state latency.
+
+        The compiled shape is the *input* resolution: with ``image_size``
+        set, the dummy defaults to it (the in-graph resize then maps any
+        warmup choice onto the same compiled model shape); without it the
+        compiled shape IS the native request resolution, so ``height`` /
+        ``width`` are required and must match the resolution real
+        requests will arrive at — warming up at any other size would
+        leave the first real request paying the full compile anyway."""
+        if height is None or width is None:
+            if self.image_size is None:
+                raise ValueError(
+                    "warmup(height, width): pass the expected native "
+                    "request resolution — image_size is not set, so the "
+                    "compiled shape is the raw input shape (e.g. "
+                    "warmup(256, 256) for InteriorNet/StreetLearn-style "
+                    "traffic)")
+            height, width = self.image_size
         B = self.batch_size or 1
         dummy = np.zeros((B, 2, 3, height, width), np.uint8)
-        intr = self._intr_for(B, None if self._default_intr is not None
-                              else np.ones(4, np.float32))
-        self._run(dummy, intr)
+        # Warmup only needs shapes, not real intrinsics: fall back to a
+        # dummy when none are stored or when the stored default is
+        # per-pair (B0, 2, 4) and cannot tile to the warmup batch.
+        intr = self._default_intr
+        if intr is None or (intr.ndim == 3 and intr.shape[0] != B):
+            intr = np.ones(4, np.float32)
+        self._run(dummy, self._intr_for(B, intr))
         return self

@@ -15,9 +15,10 @@ contractions per batch element inside one grid instance:
 Head slicing is static column slicing in VMEM — zero HBM traffic beyond one
 read of each qkv tensor and one (2, h, e, e) write.
 
-Backward = jax.vjp of the einsum reference (same math; Pallas backward for
-the per-head op exists in ``pallas_essential`` and this path's training cost
-is dominated by the conv trunk anyway).
+Backward on TPU = the single-kernel Pallas VJP (``_eb_bwd`` dispatches to
+``pallas_essential_block_bwd.essential_block_bwd_call``: all direction x
+head combo VJPs per batch element in VMEM); off-TPU it falls back to
+``jax.vjp`` of the einsum reference (same math).  See ``docs/KERNELS.md``.
 """
 
 import functools

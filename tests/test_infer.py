@@ -128,6 +128,57 @@ class TestPredictor:
         pred = PosePredictor(params, bn_state, cfg, intrinsics=INTR)
         assert pred.warmup(height=96, width=128) is pred
 
+    def test_warmup_then_no_recompile(self, tiny_model):
+        """warmup() at the declared resolution compiles the forward ONCE;
+        the first real request at that resolution adds no jit cache entry
+        (the serving promise the warmup exists for)."""
+        cfg, params, bn_state = tiny_model
+        pred = PosePredictor(params, bn_state, cfg, intrinsics=INTR,
+                             batch_size=2, shard=False)
+        pred.warmup(height=96, width=128)
+        n = pred._fwd._cache_size()
+        assert n == 1
+        pred.predict_batch(_images(5))  # 3 chunks incl. padded tail
+        assert pred._fwd._cache_size() == n
+
+    def test_warmup_defaults_to_image_size(self, tiny_model):
+        """With image_size set, warmup() needs no dims (the in-graph
+        resize pins the compiled model shape); without it, warmup()
+        requires the expected native resolution instead of silently
+        compiling a shape real traffic never uses (ADVICE r4)."""
+        cfg, params, bn_state = tiny_model
+        sized = PosePredictor(params, bn_state, cfg, intrinsics=INTR,
+                              image_size=(96, 128))
+        sized.warmup()
+        assert sized._fwd._cache_size() == 1
+        sized.predict_batch(_images(1))  # resized in-graph -> no recompile
+        assert sized._fwd._cache_size() == 1
+        plain = PosePredictor(params, bn_state, cfg, intrinsics=INTR)
+        with pytest.raises(ValueError, match="native"):
+            plain.warmup()
+
+    def test_warmup_with_per_pair_default_intrinsics(self, tiny_model):
+        """A stored per-pair (B0, 2, 4) intrinsics default with B0 !=
+        batch_size must not break warmup — it falls back to a dummy
+        (warmup only needs shapes; ADVICE r4)."""
+        cfg, params, bn_state = tiny_model
+        intr = np.tile(INTR[None, None], (3, 2, 1))
+        pred = PosePredictor(params, bn_state, cfg, intrinsics=intr,
+                             batch_size=2, shard=False)
+        assert pred.warmup(height=96, width=128) is pred
+
+    def test_empty_batch(self, tiny_model):
+        """B=0 returns an empty (0, 2, 7) instead of np.concatenate's
+        'need at least one array' error (ADVICE r4)."""
+        cfg, params, bn_state = tiny_model
+        pred = PosePredictor(params, bn_state, cfg, intrinsics=INTR,
+                             batch_size=2, shard=False)
+        out = pred.predict_batch(np.zeros((0, 2, 3, 96, 128), np.uint8))
+        assert out.shape == (0, 2, 7) and out.dtype == np.float32
+        free = PosePredictor(params, bn_state, cfg, intrinsics=INTR)
+        assert free.predict_batch(
+            np.zeros((0, 2, 3, 96, 128), np.uint8)).shape == (0, 2, 7)
+
     def test_package_export(self):
         import rel_pose_tpu
         assert rel_pose_tpu.PosePredictor is PosePredictor
