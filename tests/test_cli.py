@@ -249,8 +249,21 @@ class TestDecodeLeverEvalParity:
         assert set(full) == set(red)
         for k in full:
             assert np.isfinite(red[k]), (k, red)
-        # error metrics are dominated by the (1-step) model; the two runs
-        # differ only through decode resampling of smooth content
+        print("decode-lever deltas:",
+              {k: full[k] - red[k] for k in ("R mean err", "T mean err")},
+              "full:", full)
+        # Guard against a degenerate pass where the 1-step model collapsed
+        # to a constant that trivially satisfies any bound: the baseline
+        # run must produce a real, in-range error on this synthetic set.
+        assert 0.0 < full["R mean err"] < 180.0, full
+        assert 0.0 < full["T mean err"], full
+        # Error metrics are dominated by the (1-step) model; the two runs
+        # differ only through decode resampling of smooth content.  Bounds
+        # are deliberately loose vs the OBSERVED deltas (2026-08-19 CPU
+        # run: R mean err delta 0.018 deg of ~66, T delta 0.0017 of ~7.2)
+        # so platform/BLAS drift in the 1-step training cannot flake CI;
+        # a failure here means the reduced-decode chain diverged by >100x
+        # the observed resampling noise, not numerics.
         assert abs(full["R mean err"] - red["R mean err"]) <= 3.0, metrics
         assert abs(full["T mean err"] - red["T mean err"]) <= 0.3, metrics
 
