@@ -17,9 +17,12 @@ Numerics match the unfused path: LN statistics fp32 (eps 1e-6), attention
 softmax fp32 via exp2, matmuls accumulate fp32 on the MXU, GELU follows the
 layer policy (tanh form for bf16, exact erf for fp32).
 
-Backward: custom VJP whose backward recomputes through the UNFUSED reference
-(jax.vjp of the einsum path) — training takes the XLA path's gradients
-(bit-identical math), eval gets the fused speed.
+Backward: custom VJP.  On TPU it dispatches to the single-kernel stash-based
+Pallas backward (``pallas_vit_bwd.vit_stack_bwd_call``: per-block recompute
+from the stashed block inputs + whole-stack VJP in VMEM, weight grads
+accumulated across the grid — see ``_vit_stack_bwd`` below and
+docs/KERNELS.md); off-TPU it falls back to ``jax.vjp`` of the unfused
+einsum reference.
 """
 
 import functools
@@ -332,6 +335,14 @@ def _vit_stack_call(x, stacked, depth, num_heads, interpret=False,
     streams = int(os.environ.get("RELPOSE_VIT_STREAMS", "1"))
     stagger = streams > 1 and not stash and G % streams == 0
     S = streams if stagger else 1
+    if not stagger:
+        # RELPOSE_VIT_SEQ=k: k row-FUSED sequences per grid instance (the
+        # round-2 S=2 lever re-exposed for an at-HEAD A/B — the kernel has
+        # since gained phase-batched attention, single-pass LN and MXU
+        # row-sums, which shift the grid-halving-vs-M-tiling trade).
+        seq = int(os.environ.get("RELPOSE_VIT_SEQ", "1"))
+        if seq > 1 and G % seq == 0:
+            S = seq
     xblock = (S, C, N) if channels_first else (S, N, C)
     in_specs = [pl.BlockSpec(xblock, lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),

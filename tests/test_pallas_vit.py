@@ -69,6 +69,30 @@ class TestVitStackKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_kernel_seq2_matches_reference(self, monkeypatch):
+        """RELPOSE_VIT_SEQ=2 (two row-fused sequences per grid instance —
+        the round-2 S=2 lever re-exposed for an at-HEAD hardware A/B) must
+        be numerically identical to S=1: the flattened (S*N, C) row-wise
+        ops and the per-sequence attention loop compute the same math."""
+        monkeypatch.setenv("RELPOSE_VIT_SEQ", "2")
+        dim, heads, depth = 96, 3, 2
+        blocks = make_blocks(depth, dim, heads)
+        x = jnp.asarray(
+            RNG.standard_normal((4, 64, dim)).astype(np.float32) * 0.5)
+        stacked = stack_block_params(blocks)
+        ref = vit_stack_reference(x, stacked, depth, heads)
+        out = _vit_stack_call(x, stacked, depth, heads, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+        # stash path (training forward) keeps the (depth, G, N, C) layout
+        out2, xs = _vit_stack_call(x, stacked, depth, heads,
+                                   interpret=True, stash=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                                   atol=1e-6)
+        assert xs.shape == (depth, 4, 64, dim)
+        np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x),
+                                   atol=1e-6)
+
     def test_kernel_channels_first_matches_reference(self):
         """channels_first=True ((G, C, N) input, VMEM transpose) must equal
         the standard layout on the transposed input."""
