@@ -223,7 +223,7 @@ class PosePredictor:
         """One HWC-BGR image pair -> (2, 7) pose."""
         return self.predict_batch([(img1, img2)], intrinsics)[0]
 
-    def warmup(self, height=None, width=None):
+    def warmup(self, height=None, width=None, dtype=np.uint8):
         """Trigger the (slow, one-time) XLA compilation with a dummy batch
         so the first real request is served at steady-state latency.
 
@@ -233,7 +233,13 @@ class PosePredictor:
         compiled shape IS the native request resolution, so ``height`` /
         ``width`` are required and must match the resolution real
         requests will arrive at — warming up at any other size would
-        leave the first real request paying the full compile anyway."""
+        leave the first real request paying the full compile anyway.
+
+        The compiled *dtype* matters the same way: integer request arrays
+        run as uint8 and float arrays as float32 (``_as_images``), each a
+        distinct compilation.  ``dtype`` defaults to uint8 (the raw-image
+        convention); pass ``dtype=np.float32`` when real requests will
+        arrive pre-converted to float."""
         if height is None or width is None:
             if self.image_size is None:
                 raise ValueError(
@@ -244,7 +250,7 @@ class PosePredictor:
                     "traffic)")
             height, width = self.image_size
         B = self.batch_size or 1
-        dummy = np.zeros((B, 2, 3, height, width), np.uint8)
+        dummy = np.zeros((B, 2, 3, height, width), dtype)
         # Warmup only needs shapes, not real intrinsics: fall back to a
         # dummy when none are stored or when the stored default is
         # per-pair (B0, 2, 4) and cannot tile to the warmup batch.

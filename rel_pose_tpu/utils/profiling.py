@@ -146,6 +146,8 @@ def estimate_step_flops(fn, *args):
     try:
         return jaxpr_matmul_flops(jax.make_jaxpr(fn)(*args))
     except Exception:
+        if os.environ.get("RELPOSE_DEBUG_TRACE"):
+            raise  # surface the trace error instead of a silent None
         return None
     finally:
         if prev is None:

@@ -103,13 +103,34 @@ def main():
 
     os.makedirs(args.root, exist_ok=True)
     tree = os.path.join(args.root, "matterport")
+    marker = os.path.join(tree, "DISTINCT")  # records how the tree was built
     if not os.path.exists(os.path.join(
             tree, "mp3d_planercnn_json", "cached_set_train.json")):
         build_tree(tree, distinct=args.distinct)
+        with open(marker, "w") as f:
+            f.write(str(args.distinct))
         print(f"built synthetic tree at {tree} "
               f"(distinct={args.distinct})", flush=True)
+    else:
+        # the tree persists across invocations (so both dtypes train on the
+        # SAME data) — refuse to mislabel the summary if it was built with
+        # the other protocol
+        built_distinct = (os.path.exists(marker)
+                          and open(marker).read().strip() == "True")
+        if built_distinct != args.distinct:
+            sys.exit(f"ERROR: tree at {tree} was built with "
+                     f"distinct={built_distinct}; rerun with a fresh --root "
+                     f"or matching --distinct")
 
     name = f"conv_{args.dtype}"
+    # a re-run with the same --root/--dtype would APPEND to the previous
+    # run's metrics.jsonl (the logger opens it in "a" mode), interleaving
+    # two trajectories — start each run from a clean run dir instead
+    run_dir = os.path.join(args.root, "output", name)
+    if os.path.exists(os.path.join(run_dir, "runs", "metrics.jsonl")):
+        import shutil
+        shutil.rmtree(run_dir)
+        print(f"cleared previous run dir {run_dir}", flush=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     cmd = [sys.executable, os.path.join(REPO, "train.py"),

@@ -84,15 +84,33 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--eval_batch", type=int, default=256)
     ap.add_argument("--train_batch", type=int, default=60)
-    # hardware record, v5e (docs/PROFILE.md; eval step = batch/pairs_per_s)
-    ap.add_argument("--eval_ms", type=float, default=256 / 6371.4 * 1e3)
-    ap.add_argument("--train_fp32_ms", type=float, default=56.8)
-    ap.add_argument("--train_bf16_ms", type=float, default=41.51)
-    ap.add_argument("--vit_eval_ms", type=float, default=18.9,
+    # hardware record, v5e (docs/PROFILE.md; eval step = batch/pairs_per_s).
+    # Defaults are None so a batch override without matching fresh
+    # measurements can be detected (the record times are batch-specific).
+    ap.add_argument("--eval_ms", type=float, default=None)
+    ap.add_argument("--train_fp32_ms", type=float, default=None)
+    ap.add_argument("--train_bf16_ms", type=float, default=None)
+    ap.add_argument("--vit_eval_ms", type=float, default=None,
                     help="ViT megakernel share of the eval step "
                          "(scripts/bench_stages.py)")
-    ap.add_argument("--cross_eval_ms", type=float, default=4.8)
+    ap.add_argument("--cross_eval_ms", type=float, default=None)
     args = ap.parse_args()
+
+    # fill record defaults, refusing to mix them with a changed batch —
+    # FLOP numerators scale with batch but the record times do not
+    eval_defaults = {"eval_ms": 256 / 6371.4 * 1e3, "vit_eval_ms": 18.9,
+                     "cross_eval_ms": 4.8}
+    train_defaults = {"train_fp32_ms": 56.8, "train_bf16_ms": 41.51}
+    for batch, record_at, defaults in (
+            (args.eval_batch, 256, eval_defaults),
+            (args.train_batch, 60, train_defaults)):
+        missing = [k for k in defaults if getattr(args, k) is None]
+        if batch != record_at and missing:
+            sys.exit(f"ERROR: the default --{'/--'.join(missing)} are the "
+                     f"batch-{record_at} hardware record; pass fresh "
+                     f"measurements when overriding the batch to {batch}")
+        for k in missing:
+            setattr(args, k, defaults[k])
 
     import jax
     import jax.numpy as jnp
@@ -123,6 +141,13 @@ def main():
         jax.ShapeDtypeStruct((T, 2, 3, 384, 512), jnp.uint8),
         jax.ShapeDtypeStruct((T, 2, 7), jnp.float32),
         jax.ShapeDtypeStruct((T, 2, 4), jnp.float32))
+    if eval_flops is None or train_flops is None:
+        # estimate_step_flops deliberately returns None on trace failure
+        # (the train loop must not crash on a logging estimate); here the
+        # estimate IS the product, so surface the failure loudly
+        sys.exit("ERROR: abstract-trace FLOP estimate failed (model/config "
+                 "signature drift?) — rerun with RELPOSE_DEBUG_TRACE=1 via "
+                 "utils.profiling.estimate_step_flops to see the exception")
 
     N, C, H = cfg.num_patches, cfg.total_num_features, cfg.num_heads
     hidden = 4 * C

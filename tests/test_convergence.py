@@ -77,6 +77,8 @@ def test_train_step_converges(dtype):
     rot0, tr0 = max(rot[:5]), max(tr[:5])
     assert rot[-1] < rot0 / 10, (rot0, rot[-1])
     assert tr[-1] < tr0 / 10, (tr0, tr[-1])
-    # sanity: the trajectory is a real descent, not one lucky endpoint
-    assert min(rot) <= rot[-1] * 1.5
+    # sanity: the trajectory is a real descent, not one lucky endpoint —
+    # the final loss must sit near the trajectory minimum (a dive-and-
+    # blow-up run has rot[-1] far above min(rot))
+    assert rot[-1] <= min(rot) * 1.5, (min(rot), rot[-1])
     assert not any(np.isnan(v) for v in rot + tr)

@@ -157,6 +157,21 @@ class TestPredictor:
         with pytest.raises(ValueError, match="native"):
             plain.warmup()
 
+    def test_warmup_dtype_matches_float_stream(self, tiny_model):
+        """A float32 request stream is a distinct compilation from uint8
+        (``_as_images`` keeps float input float32): warmup(dtype=
+        np.float32) must leave the first float request recompile-free."""
+        cfg, params, bn_state = tiny_model
+        pred = PosePredictor(params, bn_state, cfg, intrinsics=INTR,
+                             batch_size=2, shard=False)
+        pred.warmup(height=96, width=128, dtype=np.float32)
+        n = pred._fwd._cache_size()
+        pred.predict_batch(_images(2).astype(np.float32))
+        assert pred._fwd._cache_size() == n
+        # ... while a uint8 request after a float-only warmup does compile
+        pred.predict_batch(_images(2))
+        assert pred._fwd._cache_size() == n + 1
+
     def test_warmup_with_per_pair_default_intrinsics(self, tiny_model):
         """A stored per-pair (B0, 2, 4) intrinsics default with B0 !=
         batch_size must not break warmup — it falls back to a dummy

@@ -70,6 +70,19 @@ def test_essential_block_flops_bound_abstract_trace():
     assert traced <= formula < 2 * traced, (traced, formula)
 
 
+def test_batch_override_requires_fresh_times():
+    """Overriding --eval_batch/--train_batch without fresh --*_ms must be
+    refused: the default times are the batch-256/-60 hardware record, and
+    rescaled FLOPs over record times would print silently-wrong MFU."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, _SPEC.origin, "--eval_batch", "512"],
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "batch-256 hardware record" in (r.stderr + r.stdout)
+
+
 def test_padded_floor_dominates_real():
     for fn, args in ((mfu.vit_block_macs, (576, 192, 3, 768)),
                      (mfu.essential_block_macs, (576, 192, 3, 6))):
