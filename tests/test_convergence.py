@@ -26,6 +26,10 @@ The 96x128/B=2 variant was ~30 s/step (>30 min for the test) and the
 margins were no better.
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -82,3 +86,25 @@ def test_train_step_converges(dtype):
     # blow-up run has rot[-1] far above min(rot))
     assert rot[-1] <= min(rot) * 1.5, (min(rot), rot[-1])
     assert not any(np.isnan(v) for v in rot + tr)
+
+
+def test_convergence_run_refuses_mismatched_tree(tmp_path):
+    """scripts/convergence_run.py trains both dtypes on one persisted
+    synthetic tree; a tree built with the other --distinct protocol must
+    be refused, not silently mislabeled in CONVERGENCE_SUMMARY.  (The
+    guard exits before any training, so this is subprocess-cheap.)"""
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "convergence_run.py")
+    sys.path.insert(0, os.path.dirname(script))
+    try:
+        from convergence_run import build_tree
+    finally:
+        sys.path.pop(0)
+    tree = str(tmp_path / "matterport")
+    build_tree(tree, n_pairs=1, hw=(32, 32))
+    (tmp_path / "matterport" / "DISTINCT").write_text("False")
+    r = subprocess.run(
+        [sys.executable, script, "--root", str(tmp_path), "--distinct",
+         "--steps", "1"], capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "distinct=False" in (r.stderr + r.stdout)
