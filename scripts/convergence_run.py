@@ -75,6 +75,10 @@ def build_tree(root, n_pairs=4, hw=(480, 640), seed=0, distinct=False):
 
 
 def read_trajectory(run_dir, prefix):
+    # Each record is a SUM_FREQ=100-push running mean; its "step" is the
+    # logger's push index, which counts train AND val pushes (reference
+    # Logger semantics), so printed step labels run slightly ahead of the
+    # optimizer step count — the loss values themselves are exact.
     rot, tr, steps = [], [], []
     with open(os.path.join(run_dir, "runs", "metrics.jsonl")) as f:
         for line in f:

@@ -5,6 +5,6 @@ EXPNAME=interiornet_t
 
 python train.py --name ${EXPNAME} --batch=6 \
         --lr=5e-4 --fusion_transformer --transformer_depth 6 \
-        --w_tr 10 --w_rot 10 --steps 120000 --use_mini_dataset \
+        --w_tr 10 --w_rot 10 --steps 120000 \
         --streetlearn_interiornet_type T \
         --datapath=$INTERIORNET_STREETLEARN_PATH --dataset interiornet

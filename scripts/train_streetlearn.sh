@@ -5,5 +5,5 @@ EXPNAME=streetlearn
 
 python train.py --name ${EXPNAME} --batch=6 \
         --lr=5e-4 --fusion_transformer --transformer_depth 6 \
-        --w_tr 10 --w_rot 10 --steps 120000 --use_mini_dataset \
+        --w_tr 10 --w_rot 10 --steps 120000 \
         --datapath=$INTERIORNET_STREETLEARN_PATH --dataset streetlearn

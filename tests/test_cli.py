@@ -200,6 +200,47 @@ class TestStreetlearnInteriornetCLI:
         assert "rotation_geodesic_error" in open(results).read()
 
 
+    def test_train_interiornet(self, tmp_path):
+        """train.py on a synthetic InteriorNet tree (the path the
+        train_interiornet.sh launch script drives): the viewpoint-pair
+        rotation reader feeds training, and the IN/SL subepoch protocol
+        has NO val subepoch (ref ``train.py:205-208``) — subepoch 9 must
+        roll straight into epoch 1 without a val pass."""
+        root = str(tmp_path / "inet")
+        rng = np.random.default_rng(2)
+        split = {}
+        for i in range(20):   # split_size = 20 // 10 = 2 pairs/subepoch
+            p1, p2 = f"s/{i}a.png", f"s/{i}b.png"
+            for p in (p1, p2):
+                full = os.path.join(root, "data", "interiornet", p)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                cv2.imwrite(full, rng.integers(0, 255, (128, 128, 3),
+                                               dtype=np.uint8))
+            split[i] = {"img1": {"path": p1, "x": 0.2, "y": 0.1 * i},
+                        "img2": {"path": p2, "x": 0.1, "y": -0.2}}
+        os.makedirs(os.path.join(root, "metadata", "interiornet"),
+                    exist_ok=True)
+        np.save(os.path.join(root, "metadata", "interiornet",
+                             "train_pair_rotation_overlap.npy"),
+                np.array([split], dtype=object), allow_pickle=True)
+        # 1 batch per subepoch: 11 steps crosses subepochs 0-9 (10 train
+        # steps) and the epoch rollover into epoch 1
+        r = run_cli([os.path.join(REPO, "train.py"),
+                     "--name", "inet_train", "--datapath", root,
+                     "--dataset", "interiornet", "--batch", "2", "--no_ddp",
+                     "--steps", "11", "--ckpt_every", "100",
+                     "--warmup", "2", "--num_workers", "1"] + MODEL_FLAGS,
+                    cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-3000:]
+        out = r.stdout
+        assert "finished training!" in out
+        assert "using val set" not in out    # no val subepoch for IN/SL
+        assert "epoch 1" in out              # subepoch 9 -> epoch 1 rollover
+        runs = os.path.join(str(tmp_path), "output", "inet_train", "runs",
+                            "metrics.jsonl")
+        assert "train_geo_loss_rot" in open(runs).read()
+
+
 def _read_results(path):
     out = {}
     for line in open(path).read().strip().splitlines():
