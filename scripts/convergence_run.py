@@ -13,8 +13,12 @@ fused kernels, OneCycle peak lr 1e-4), overfit to near-zero geodesic
 error through the REAL ``train.py`` CLI.  ``--distinct`` is the harder
 variant — per-pair random unit-quaternion poses, so the model must
 separate the pairs from their (noise) pixels instead of learning one
-constant; it needs a longer budget (measured 2026-08-19: at 330
-steps/lr 1e-4 the train loss is still descending, rot 1.9 -> 1.48).
+constant; it needs a longer budget.  Measured at HEAD on v5e
+(2026-08-19, ``--steps 2000 --warmup 100 --lr 2e-4``): BOTH dtypes
+converge — fp32 rot 1.913 -> 0.0057 / tr 0.210 -> 0.0011, bf16 rot
+1.834 -> 0.0009 / tr 0.179 -> 0.0012, val rot/tr all at the 1e-4 floor
+(STATUS.md round-5; the per-seed trajectories diverge mid-run, as
+expected when rounding perturbs an SGD path, and meet at the floor).
 
 Usage (TPU, per dtype)::
 
