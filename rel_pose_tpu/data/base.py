@@ -17,9 +17,13 @@ Host-throughput levers (decode is the measured wall of the pipeline —
   libjpeg's DCT-domain scaling (``cv2.IMREAD_REDUCED_COLOR_k``), ~3x
   cheaper at k=2.  The model downscales to 224x224 anyway, so a 1/2-scale
   480x640 source (240x320) still oversamples the network input, but the
-  resampling chain differs from the reference's — OPT-IN until validated
-  for eval-metric parity on real data.  Intrinsics stay correct
-  automatically (the augmentor rescales from the decoded resolution).
+  resampling chain differs from the reference's — OPT-IN; eval-metric
+  parity is CI-gated on synthetic band-limited images AND on the
+  reference's 6 real demo photos (``tests/test_cli.py``, observed real-
+  photo deltas: R mean err 0.07 deg of ~98, T 0.007 of ~5.8 — decode
+  resampling noise), pending a full real-dataset validation.  Intrinsics
+  stay correct automatically (the augmentor rescales from the decoded
+  resolution).
 - ``RELPOSE_DECODE_CACHE_MB=<n>`` — bounded process-wide LRU of decoded
   images.  Matterport pairs reuse images across pairs within a scene and
   the train loop re-reads every image each epoch; cache hits skip the

