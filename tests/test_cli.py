@@ -389,6 +389,66 @@ class TestDecodeLeverEvalParity:
         assert abs(full["T mean err"] - red["T mean err"]) <= 0.3, metrics
 
 
+class TestDemoRealPhotos:
+    REF_DEMO = "/root/reference/demo"
+
+    @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
+                        reason="reference demo photos not present")
+    def test_demo_cli_real_pairs_both_branches(self, tmp_path):
+        """demo.py on the reference's REAL demo photos — the exact usage
+        its README documents (ref ``demo.py:104-122``): the matterport
+        branch (fixed 480x640 intrinsics + in-graph 384x512 resize +
+        DEPTH_SCALE/[4,5,3,6] un-swizzle) and the non-matterport branch
+        (fixed 256x256 intrinsics, native-resolution input, previously
+        never subprocess-tested) both run end-to-end.  Weights are
+        random-init (pretrained ``.pth`` assets are absent — STATUS.md);
+        the golden-output comparison stays staged in tests/test_golden.py.
+        The streetlearn pair takes the identical non-matterport code path
+        and is exercised by the real-photo eval-parity test above."""
+        import argparse as _argparse
+        import jax as _jax
+        from rel_pose_tpu.config import (add_model_flags,
+                                         model_config_from_args)
+        from rel_pose_tpu.models import vitess_init
+        from rel_pose_tpu.train.checkpoint import save_checkpoint
+
+        # Build cfg exactly as demo.py does from the same flags
+        parser = _argparse.ArgumentParser()
+        parser.add_argument("--datapath")
+        parser.add_argument("--weights")
+        parser.add_argument("--image_size", default=[384, 512])
+        add_model_flags(parser)
+        args = parser.parse_args(MODEL_FLAGS[:2])
+        args.fusion_transformer = True
+        cfg = model_config_from_args(args)
+        params, bn_state = vitess_init(_jax.random.PRNGKey(0), cfg)
+
+        wd = str(tmp_path)
+        for ckpt_name, pair in (
+                ("matterport.ckpt", ("matterport_1.png",
+                                     "matterport_2.png")),
+                ("interiornet_t.ckpt", ("interiornet_t_1.png",
+                                        "interiornet_t_2.png"))):
+            ckpt = os.path.join(wd, ckpt_name)
+            save_checkpoint(ckpt, {"params": params, "bn_state": bn_state})
+            r = run_cli([os.path.join(REPO, "demo.py"),
+                         "--img1", os.path.join(self.REF_DEMO, pair[0]),
+                         "--img2", os.path.join(self.REF_DEMO, pair[1]),
+                         "--ckpt", ckpt] + MODEL_FLAGS[:2], cwd=wd)
+            assert r.returncode == 0, (ckpt_name, r.stderr[-3000:])
+            header = ("predicted R&t" if "matterport" in ckpt_name
+                      else "predicted R, as quaternion")
+            n_vals = 7 if "matterport" in ckpt_name else 4
+            lines = r.stdout.splitlines()
+            idx = next(i for i, l in enumerate(lines) if header in l)
+            # the pose prints on the line(s) after the header
+            tail = " ".join(lines[idx + 1:]).replace("[", " ").replace(
+                "]", " ")
+            vals = np.array([float(t) for t in tail.split()])
+            assert vals.size == n_vals and np.isfinite(vals).all(), (
+                ckpt_name, r.stdout[-500:])
+
+
 class TestEpipolarCLI:
     def test_generate_epipolar(self, tmp_path):
         rng = np.random.default_rng(2)
