@@ -46,6 +46,44 @@ def _smooth_image(rng, hw):
     return np.stack(chans, axis=-1).astype(np.uint8)
 
 
+REF_DEMO = "/root/reference/demo"
+
+
+def make_matterport_tree_real_photos(root, quality=95):
+    """Matterport-format tree from the reference's 6 REAL demo photos,
+    JPEG-encoded (the real dataset's format; lets RELPOSE_DECODE_REDUCE
+    exercise the true libjpeg DCT-domain scaled decode).  The Matterport
+    pair keeps its native 480x640 (full photographic frequency content);
+    the IN/SL photos are upscaled to 480x640 for batch-uniform native
+    resolution (real textures, band-limited by the upscale)."""
+    pairs = [("matterport_1.png", "matterport_2.png"),
+             ("interiornet_t_1.png", "interiornet_t_2.png"),
+             ("streetlearn_t_1.png", "streetlearn_t_2.png")]
+    entries = []
+    for i, pair in enumerate(pairs):
+        files = []
+        for j, src in enumerate(pair):
+            rel = f"imgs/r{i}_{j}.jpg"
+            path = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            img = cv2.imread(os.path.join(REF_DEMO, src))
+            assert img is not None, src
+            if img.shape[:2] != (480, 640):
+                img = cv2.resize(img, (640, 480),
+                                 interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, quality])
+            files.append("a/b/c/d/e/f/" + rel)
+        entries.append({"0": {"file_name": files[0]},
+                        "1": {"file_name": files[1]},
+                        "rel_pose": {"position": [0.5, 0.1, -0.2],
+                                     "rotation": [0.9, 0.1, 0.2, 0.38]}})
+    os.makedirs(os.path.join(root, "mp3d_planercnn_json"), exist_ok=True)
+    for split in ("train", "val", "test"):
+        with open(os.path.join(root, "mp3d_planercnn_json",
+                               f"cached_set_{split}.json"), "w") as f:
+            json.dump({"data": entries}, f)
+
+
 def make_matterport_tree(root, n=4, hw=(120, 160), smooth=False):
     rng = np.random.default_rng(0)
     entries = []
@@ -309,8 +347,6 @@ class TestDecodeLeverEvalParity:
         assert abs(full["R mean err"] - red["R mean err"]) <= 3.0, metrics
         assert abs(full["T mean err"] - red["T mean err"]) <= 0.3, metrics
 
-    REF_DEMO = "/root/reference/demo"
-
     @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
                         reason="reference demo photos not present")
     def test_reduce2_metric_parity_real_photos(self, tmp_path):
@@ -326,33 +362,7 @@ class TestDecodeLeverEvalParity:
         T mean err 0.0072 of ~5.8 — decode resampling noise, ~1000x inside
         the bounds."""
         wd = str(tmp_path)
-        root = os.path.join(wd, "matterport")
-        pairs = [("matterport_1.png", "matterport_2.png"),
-                 ("interiornet_t_1.png", "interiornet_t_2.png"),
-                 ("streetlearn_t_1.png", "streetlearn_t_2.png")]
-        entries = []
-        for i, pair in enumerate(pairs):
-            files = []
-            for j, src in enumerate(pair):
-                rel = f"imgs/r{i}_{j}.jpg"
-                path = os.path.join(root, rel)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                img = cv2.imread(os.path.join(self.REF_DEMO, src))
-                assert img is not None, src
-                if img.shape[:2] != (480, 640):
-                    img = cv2.resize(img, (640, 480),
-                                     interpolation=cv2.INTER_CUBIC)
-                cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
-                files.append("a/b/c/d/e/f/" + rel)
-            entries.append({"0": {"file_name": files[0]},
-                            "1": {"file_name": files[1]},
-                            "rel_pose": {"position": [0.5, 0.1, -0.2],
-                                         "rotation": [0.9, 0.1, 0.2, 0.38]}})
-        os.makedirs(os.path.join(root, "mp3d_planercnn_json"), exist_ok=True)
-        for split in ("train", "val", "test"):
-            with open(os.path.join(root, "mp3d_planercnn_json",
-                                   f"cached_set_{split}.json"), "w") as f:
-                json.dump({"data": entries}, f)
+        make_matterport_tree_real_photos(os.path.join(wd, "matterport"))
 
         r = run_cli([os.path.join(REPO, "train.py"),
                      "--name", "lever_real", "--datapath", "matterport",
@@ -390,8 +400,6 @@ class TestDecodeLeverEvalParity:
 
 
 class TestDemoRealPhotos:
-    REF_DEMO = "/root/reference/demo"
-
     @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
                         reason="reference demo photos not present")
     def test_demo_cli_real_pairs_both_branches(self, tmp_path):
@@ -432,8 +440,8 @@ class TestDemoRealPhotos:
             ckpt = os.path.join(wd, ckpt_name)
             save_checkpoint(ckpt, {"params": params, "bn_state": bn_state})
             r = run_cli([os.path.join(REPO, "demo.py"),
-                         "--img1", os.path.join(self.REF_DEMO, pair[0]),
-                         "--img2", os.path.join(self.REF_DEMO, pair[1]),
+                         "--img1", os.path.join(REF_DEMO, pair[0]),
+                         "--img2", os.path.join(REF_DEMO, pair[1]),
                          "--ckpt", ckpt] + MODEL_FLAGS[:2], cwd=wd)
             assert r.returncode == 0, (ckpt_name, r.stderr[-3000:])
             header = ("predicted R&t" if "matterport" in ckpt_name
@@ -464,8 +472,6 @@ class TestEpipolarCLI:
         assert os.path.exists(
             str(tmp_path / "demo" / "matterport_2_epipolar_lines.png"))
 
-    REF_DEMO = "/root/reference/demo"
-
     @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
                         reason="reference demo photos not present")
     def test_matches_reference_bitwise_on_real_photos(self, tmp_path):
@@ -477,7 +483,7 @@ class TestEpipolarCLI:
         output PNGs must be BITWISE identical (verified 2026-08-19 — the
         geometry chain, color palette, draw parameters, and blend all
         match to the integer pixel)."""
-        ref_script = os.path.join(os.path.dirname(self.REF_DEMO),
+        ref_script = os.path.join(os.path.dirname(REF_DEMO),
                                   "generate_epipolar_imgs.py")
         outs = {}
         for tag, script in (("ref", ref_script),
@@ -486,7 +492,7 @@ class TestEpipolarCLI:
             wd = tmp_path / tag
             os.makedirs(str(wd / "demo"), exist_ok=True)
             for name in ("matterport_1.png", "matterport_2.png"):
-                shutil.copy(os.path.join(self.REF_DEMO, name),
+                shutil.copy(os.path.join(REF_DEMO, name),
                             str(wd / "demo" / name))
             r = run_cli([script], cwd=str(wd))
             assert r.returncode == 0, (tag, r.stderr[-3000:])

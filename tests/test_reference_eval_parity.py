@@ -38,7 +38,8 @@ REF = "/root/reference"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from test_cli import make_matterport_tree  # noqa: E402
+from test_cli import (  # noqa: E402
+    REF_DEMO, make_matterport_tree, make_matterport_tree_real_photos)
 from test_reference_parity import (  # noqa: E402
     _install_stubs, _randomize, _ref_args, _SE3Stub)
 
@@ -284,6 +285,51 @@ class TestEvalCLIParity:
                 delimiter=",")
             assert a.shape == b.shape
             np.testing.assert_allclose(b, a, atol=tol, err_msg=csv)
+
+    @pytest.mark.skipif(not os.path.isdir(REF_DEMO),
+                        reason="reference demo photos not present")
+    def test_matterport_cli_real_photos(self, tmp_path, monkeypatch):
+        """The same full ckpt -> decode -> resize -> forward -> un-swizzle
+        -> metric chain, but on REAL photographs (the reference's demo
+        images, JPEG-encoded as the real dataset is) — real photographic
+        frequency content through both eval stacks, where a resize- or
+        decode-convention mismatch invisible on synthetic noise would
+        surface."""
+        pth = _ref_pth(tmp_path)
+        make_matterport_tree_real_photos(str(tmp_path / "matterport"))
+
+        ref_wd = tmp_path / "ref_run"
+        our_wd = tmp_path / "our_run"
+        os.makedirs(ref_wd)
+        os.makedirs(our_wd)
+        datapath = str(tmp_path / "matterport")
+
+        _run_cli_inprocess(
+            os.path.join(REF, "test_matterport.py"),
+            ["--datapath", datapath, "--exp", "p", "--ckpt", pth]
+            + MODEL_ARGV, ref_wd, monkeypatch)
+        _run_cli_inprocess(
+            os.path.join(REPO_ROOT, "test_matterport.py"),
+            ["--datapath", datapath, "--exp", "p", "--ckpt", pth,
+             "--batch", "3"] + MODEL_ARGV, our_wd, monkeypatch)
+
+        ref = _parse_results(
+            ref_wd / "output" / "p" / "matterport_test" / "results.txt")
+        ours = _parse_results(
+            our_wd / "output" / "p" / "matterport_test" / "results.txt")
+        assert set(ref) == set(ours)
+        for k in ref:
+            assert abs(ours[k] - ref[k]) <= 1e-4, (k, ours[k], ref[k])
+        for csv in ("gt_translation_magnitude_vs_error.csv",
+                    "gt_rotation_magnitude_vs_error.csv"):
+            a = np.loadtxt(
+                ref_wd / "output" / "p" / "matterport_test" / csv,
+                delimiter=",")
+            b = np.loadtxt(
+                our_wd / "output" / "p" / "matterport_test" / csv,
+                delimiter=",")
+            assert a.shape == b.shape
+            np.testing.assert_allclose(b, a, atol=1e-4, err_msg=csv)
 
     def test_interiornet_cli(self, tmp_path, monkeypatch):
         pth = _ref_pth(tmp_path)
