@@ -40,23 +40,48 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_tree(root, n_pairs=4, hw=(480, 640), seed=0, distinct=False):
-    """Synthetic Matterport tree: n_pairs random-noise image pairs, either
-    sharing one real-geometry pose (the 63b8a61 overfit protocol) or, with
-    ``distinct``, each carrying its own random unit-quaternion pose
-    (metadata quaternion W-first, positions at the DEPTH_SCALE-divided
-    magnitude real Matterport metadata carries)."""
+REF_DEMO = "/root/reference/demo"
+REAL_PAIRS = [("matterport_1.png", "matterport_2.png"),
+              ("interiornet_t_1.png", "interiornet_t_2.png"),
+              ("streetlearn_t_1.png", "streetlearn_t_2.png")]
+
+
+def build_tree(root, n_pairs=4, hw=(480, 640), seed=0, distinct=False,
+               real_photos=False):
+    """Matterport tree for the overfit protocols.  Synthetic (default):
+    n_pairs random-noise image pairs, either sharing one real-geometry pose
+    (the 63b8a61 overfit protocol) or, with ``distinct``, each carrying its
+    own random unit-quaternion pose (metadata quaternion W-first, positions
+    at the DEPTH_SCALE-divided magnitude real Matterport metadata carries).
+    ``real_photos``: the reference's 3 real demo photo pairs (JPEG-encoded,
+    IN/SL upscaled to 480x640 for batch-uniform resolution), each with its
+    own distinct random pose — the model must map real photographic content
+    to 3 different poses."""
     rng = np.random.default_rng(seed)
     entries = []
+    if real_photos:
+        n_pairs = len(REAL_PAIRS)
     for i in range(n_pairs):
         files = []
         for j in range(2):
-            rel = f"imgs/s{i}_{j}.png"
-            full = os.path.join(root, rel)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            cv2.imwrite(full, rng.integers(0, 256, (*hw, 3), dtype=np.uint8))
+            if real_photos:
+                rel = f"imgs/r{i}_{j}.jpg"
+                full = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                img = cv2.imread(os.path.join(REF_DEMO, REAL_PAIRS[i][j]))
+                assert img is not None, REAL_PAIRS[i][j]
+                if img.shape[:2] != (480, 640):
+                    img = cv2.resize(img, (640, 480),
+                                     interpolation=cv2.INTER_CUBIC)
+                cv2.imwrite(full, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            else:
+                rel = f"imgs/s{i}_{j}.png"
+                full = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                cv2.imwrite(full,
+                            rng.integers(0, 256, (*hw, 3), dtype=np.uint8))
             files.append("a/b/c/d/e/f/" + rel)
-        if distinct:
+        if distinct or real_photos:
             q = rng.normal(size=4)
             q /= np.linalg.norm(q)
             if q[0] < 0:
@@ -107,28 +132,36 @@ def main():
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--distinct", action="store_true",
                     help="per-pair random poses (harder; needs more steps)")
+    ap.add_argument("--real-photos", action="store_true",
+                    help="train on the reference's 3 real demo photo pairs "
+                         "(distinct poses; use --batch 3)")
     args = ap.parse_args()
+    if args.real_photos and not os.path.isdir(REF_DEMO):
+        sys.exit(f"ERROR: --real-photos needs {REF_DEMO}")
+    protocol = ("real" if args.real_photos
+                else "distinct" if args.distinct else "shared")
 
     os.makedirs(args.root, exist_ok=True)
     tree = os.path.join(args.root, "matterport")
     marker = os.path.join(tree, "DISTINCT")  # records how the tree was built
     if not os.path.exists(os.path.join(
             tree, "mp3d_planercnn_json", "cached_set_train.json")):
-        build_tree(tree, distinct=args.distinct)
+        build_tree(tree, distinct=args.distinct,
+                   real_photos=args.real_photos)
         with open(marker, "w") as f:
-            f.write(str(args.distinct))
-        print(f"built synthetic tree at {tree} "
-              f"(distinct={args.distinct})", flush=True)
+            f.write(protocol)
+        print(f"built tree at {tree} (protocol={protocol})", flush=True)
     else:
         # the tree persists across invocations (so both dtypes train on the
         # SAME data) — refuse to mislabel the summary if it was built with
-        # the other protocol
-        built_distinct = (os.path.exists(marker)
-                          and open(marker).read().strip() == "True")
-        if built_distinct != args.distinct:
-            sys.exit(f"ERROR: tree at {tree} was built with "
-                     f"distinct={built_distinct}; rerun with a fresh --root "
-                     f"or matching --distinct")
+        # another protocol (legacy markers spelled the --distinct bool)
+        raw = open(marker).read().strip() if os.path.exists(marker) else ""
+        built = {"True": "distinct", "False": "shared"}.get(raw, raw)
+        if built != protocol:
+            sys.exit(f"ERROR: tree at {tree} was built with protocol="
+                     f"{built or 'unknown'} (distinct="
+                     f"{built == 'distinct'}); rerun with a fresh --root "
+                     f"or matching flags")
 
     name = f"conv_{args.dtype}"
     # a re-run with the same --root/--dtype would APPEND to the previous
@@ -164,7 +197,7 @@ def main():
     print(f"  step {steps[-1]:4d}  rot {rot[-1]:.5f}  tr {tr[-1]:.5f}")
     summary = {
         "dtype": args.dtype, "steps": args.steps, "batch": args.batch,
-        "distinct": args.distinct,
+        "protocol": protocol,
         "rot_first": rot[0], "rot_final": rot[-1],
         "tr_first": tr[0], "tr_final": tr[-1],
         "val_rot_final": vrot[-1] if vrot else None,

@@ -108,3 +108,36 @@ def test_convergence_run_refuses_mismatched_tree(tmp_path):
          "--steps", "1"], capture_output=True, text=True)
     assert r.returncode != 0
     assert "distinct=False" in (r.stderr + r.stdout)
+
+
+def test_convergence_real_photo_tree(tmp_path):
+    """``--real-photos`` builds a Matterport tree from the reference's 3
+    real demo pairs (JPEG, batch-uniform 480x640) with DISTINCT per-pair
+    poses — the tree the on-TPU real-photo convergence run trains on
+    (STATUS.md round-5)."""
+    script_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, script_dir)
+    try:
+        from convergence_run import REF_DEMO, build_tree
+    finally:
+        sys.path.pop(0)
+    if not os.path.isdir(REF_DEMO):
+        import pytest
+        pytest.skip("reference demo photos not present")
+    import json
+    import cv2
+    tree = str(tmp_path / "matterport")
+    build_tree(tree, real_photos=True)
+    imgs = sorted(os.listdir(os.path.join(tree, "imgs")))
+    assert imgs == [f"r{i}_{j}.jpg" for i in range(3) for j in range(2)]
+    for f in imgs:
+        img = cv2.imread(os.path.join(tree, "imgs", f))
+        assert img is not None and img.shape == (480, 640, 3), f
+    data = json.load(open(os.path.join(
+        tree, "mp3d_planercnn_json", "cached_set_train.json")))["data"]
+    rots = [tuple(e["rel_pose"]["rotation"]) for e in data]
+    assert len(set(rots)) == 3  # distinct poses
+    for e in data:
+        q = np.array(e["rel_pose"]["rotation"])
+        assert abs(np.linalg.norm(q) - 1) < 1e-6 and q[0] >= 0
