@@ -19,6 +19,12 @@ converge — fp32 rot 1.913 -> 0.0057 / tr 0.210 -> 0.0011, bf16 rot
 1.834 -> 0.0009 / tr 0.179 -> 0.0012, val rot/tr all at the 1e-4 floor
 (STATUS.md round-5; the per-seed trajectories diverge mid-run, as
 expected when rounding perturbs an SGD path, and meet at the floor).
+``--real-photos`` trains on REAL photographs (the reference's 3 demo
+pairs, distinct poses).  Measured at HEAD on v5e (2026-08-19,
+``--batch 3 --steps 2000 --warmup 100 --lr 2e-4``): fp32 rot
+0.3546 -> 0.00060 / tr 0.1727 -> 0.00072, bf16 rot 0.3617 -> 0.00056 /
+tr 0.1623 -> 0.00068, val rot/tr at the 1e-4/1e-5 floor in both —
+convergence on real photographic content, both dtypes.
 
 Usage (TPU, per dtype)::
 
